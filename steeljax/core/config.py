@@ -1,0 +1,43 @@
+"""Engine configuration as a frozen dataclass.
+
+The reference's compile-time `Config` namespace (Source/Engine/Config.hpp:9-84)
+becomes runtime config here; values that were shader `#define`s become jit
+constants (closed over at trace time), which is the XLA analog of textual
+define overrides (ShaderManager.cpp:11-42).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    # Framebuffer (Config.hpp:13).
+    width: int = 1280
+    height: int = 720
+
+    # Feature toggles (Config.hpp:34-48).
+    ray_tracing_enabled: bool = True
+    path_tracing_enabled: bool = True
+    global_illumination_enabled: bool = False
+    reverse_depth: bool = True
+    force_forward: bool = False
+
+    # Path-tracer budget (RayGen.rgen:18-26).
+    sample_count: int = 1
+    min_bounce_count: int = 2
+    max_bounce_count: int = 4
+    rr_min_threshold: float = 0.05
+    max_irradiance: float = 8.0
+    accumulation: bool = True
+    render_to_hdr: bool = False
+    backface_culling: bool = True
+
+    # Alpha-test continuation limit for visibility/material rays; the Vulkan
+    # any-hit loop is unbounded (RayGen.rgen:136-170), ours re-traces at most
+    # this many times per segment under jit.
+    max_alpha_retrace: int = 4
+
+
+DEFAULT_CONFIG = RenderConfig()

@@ -1,0 +1,396 @@
+"""Monte-Carlo path-tracing integrator.
+
+Faithful TPU re-expression of the reference's ray-generation kernel
+(Source/Shaders/PathTracing/RayGen.rgen:322-425): per pixel — seeded
+xoroshiro stream, jittered primary ray from the inverse proj/view matrices,
+a bounded bounce loop (miss -> environment; emission; next-event estimation
+against punctual lights with irradiance-proportional light pick; BRDF
+importance sampling; Russian roulette after bounce 2), irradiance clamp,
+running-mean accumulation.
+
+Architecture differences from the Vulkan original, by design:
+
+* megakernel SIMT -> lockstep masked lanes over a flat ray batch; the bounce
+  loop is unrolled (static trip count), dead lanes ride along masked.  This
+  matches the TPU's VPU model; per-bounce stream compaction is a later
+  optimization (SURVEY.md §7 M2).
+* traceRayEXT -> LBVH traversal (steeljax.accel); any-hit alpha testing ->
+  bounded re-trace past alpha-rejected hits.
+* push constants / shader defines -> static jit arguments.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from steeljax.accel.bvh import BVH
+from steeljax.accel.traverse import trace_any, trace_nearest
+from steeljax.core import rng
+from steeljax.core.colors import luminance, to_linear
+from steeljax.core.config import RenderConfig
+from steeljax.core.constants import (
+    BIAS, DIRECT_LIGHT_DISK_RADIUS, EPSILON, MAX_LIGHT_COUNT, PI,
+    POINT_LIGHT_RADIUS, RAY_MAX_T, RAY_MIN_T)
+from steeljax.env.cubemap import sample_cube
+from steeljax.render.pt import brdf as brdf_lib
+from steeljax.render.texture import sample_bilinear
+from steeljax.scene.flatten import FlatScene
+from steeljax.scene.material import MaterialFlags
+
+
+def _normalize(v):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+
+
+# ---------------------------------------------------------------------------
+# Ray generation (RayGen.rgen:52-70)
+# ---------------------------------------------------------------------------
+
+def primary_rays(inverse_view, inverse_proj, width, height, seed,
+                 render_to_cube: bool = False):
+    """Jittered primary rays for every pixel; returns (o, d, seed) with
+    o/d shaped (H*W, 3)."""
+    ys, xs = jnp.meshgrid(jnp.arange(height), jnp.arange(width),
+                          indexing="ij")
+    xs = xs.reshape(-1).astype(jnp.float32)
+    ys = ys.reshape(-1).astype(jnp.float32)
+
+    jitter, seed = rng.next_vec2(seed)
+    u = (xs + jitter[..., 0]) / width
+    v = (ys + jitter[..., 1]) / height
+    xy = jnp.stack([u, v], axis=-1) * 2.0 - 1.0
+    if render_to_cube:
+        xy = xy * jnp.asarray([-1.0, 1.0], jnp.float32)
+
+    target = jnp.einsum("ij,nj->ni", inverse_proj,
+                        jnp.concatenate([xy, jnp.ones_like(xy)], axis=-1))
+    direction = _normalize(target[..., :3])
+    direction = jnp.einsum(
+        "ij,nj->ni", inverse_view,
+        jnp.concatenate([direction, jnp.zeros_like(direction[..., :1])],
+                        axis=-1))[..., :3]
+    origin = jnp.broadcast_to(inverse_view[:3, 3], direction.shape)
+    return origin, _normalize(direction), seed
+
+
+# ---------------------------------------------------------------------------
+# Hit shading inputs (ClosestHit.rchit + UnpackMaterial, RayGen.rgen:72-115)
+# ---------------------------------------------------------------------------
+
+def _interp(attr, tri, u, v):
+    """Barycentric interpolation of a per-vertex triangle attribute.
+
+    attr: (T, 3, C); tri: (N,); u/v: (N,)."""
+    rows = attr[jnp.maximum(tri, 0)]
+    w = (1.0 - u - v)[..., None]
+    return (rows[:, 0] * w + rows[:, 1] * u[..., None]
+            + rows[:, 2] * v[..., None])
+
+
+def _alpha_at(scene: FlatScene, tri, u, v):
+    """Base-color alpha at a hit (AnyHit.rahit:35-52)."""
+    mat = scene.tri_mat[jnp.maximum(tri, 0)]
+    alpha = scene.mat_base_color[mat, 3]
+    tex = scene.mat_tex[mat, 0]
+    uv = _interp(scene.tri_uv, tri, u, v)
+    sampled = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
+                              tex, uv)[..., 3]
+    return alpha * jnp.where(tex >= 0, sampled, 1.0)
+
+
+def _is_alpha_test(scene: FlatScene, tri):
+    mat = scene.tri_mat[jnp.maximum(tri, 0)]
+    return (scene.mat_flags[mat] & int(MaterialFlags.ALPHA_TEST)) != 0
+
+
+def trace_material_ray(scene: FlatScene, bvh: BVH, o, d, t_min, t_max,
+                       cull_backface: bool, max_alpha_retrace: int):
+    """Nearest hit honoring any-hit alpha testing: re-trace past rejected
+    hits up to `max_alpha_retrace` times (the reference's unbounded any-hit
+    loop is bounded here for static control flow)."""
+    rec = trace_nearest(bvh, scene.tri_pos, scene.tri_double_sided, o, d,
+                        t_min, t_max, cull_backface=cull_backface)
+    if not scene.any_alpha_test:
+        return rec
+
+    tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
+    for _ in range(max_alpha_retrace):
+        cutoff = scene.mat_params[scene.tri_mat[jnp.maximum(rec["tri"], 0)], 4]
+        rejected = (rec["hit"] & _is_alpha_test(scene, rec["tri"])
+                    & (_alpha_at(scene, rec["tri"], rec["u"], rec["v"])
+                       < cutoff))
+        new_tmin = rec["t"] + 1e-4
+        rec2 = trace_nearest(bvh, scene.tri_pos, scene.tri_double_sided, o, d,
+                             new_tmin, tmax, cull_backface=cull_backface)
+        rec = {
+            k: jnp.where(rejected, rec2[k], rec[k]) for k in rec
+        }
+    # Hits that are still alpha-rejected after the bounded loop count as
+    # misses (conservative vs the reference's exhaustive walk).
+    cutoff = scene.mat_params[scene.tri_mat[jnp.maximum(rec["tri"], 0)], 4]
+    final_reject = (rec["hit"] & _is_alpha_test(scene, rec["tri"])
+                    & (_alpha_at(scene, rec["tri"], rec["u"], rec["v"])
+                       < cutoff))
+    rec["hit"] = rec["hit"] & ~final_reject
+    rec["tri"] = jnp.where(rec["hit"], rec["tri"], -1)
+    rec["t"] = jnp.where(rec["hit"], rec["t"], -1.0)
+    return rec
+
+
+def trace_visibility(scene: FlatScene, bvh: BVH, o, d, t_min, t_max,
+                     max_alpha_retrace: int):
+    """TraceVisibilityRay (RayGen.rgen:127-178): occlusion with alpha-test
+    transparency, no backface culling.  Returns (N,) bool occluded."""
+    if not scene.any_alpha_test:
+        return trace_any(bvh, scene.tri_pos, scene.tri_double_sided, o, d,
+                         t_min, t_max)
+    rec = trace_material_ray(scene, bvh, o, d, t_min, t_max,
+                             cull_backface=False,
+                             max_alpha_retrace=max_alpha_retrace)
+    return rec["hit"]
+
+
+def unpack_material(scene: FlatScene, rec, ray_d):
+    """ClosestHit attribute interpolation + UnpackMaterial
+    (RayGen.rgen:72-115).  Returns (surface dict, tbn)."""
+    tri = jnp.maximum(rec["tri"], 0)
+    u, v = rec["u"], rec["v"]
+    mat = scene.tri_mat[tri]
+
+    normal = _normalize(_interp(scene.tri_nrm, tri, u, v))
+    tangent = _normalize(_interp(scene.tri_tan, tri, u, v))
+    uv = _interp(scene.tri_uv, tri, u, v)
+
+    # Backface flip (ClosestHit.rchit:67-70): hit-kind is winding-based,
+    # i.e. the Moller-Trumbore determinant sign.
+    tp = scene.tri_pos[tri]
+    geom_n = jnp.cross(tp[:, 1] - tp[:, 0], tp[:, 2] - tp[:, 0])
+    backface = jnp.sum(geom_n * ray_d, axis=-1) > 0.0
+    normal = jnp.where(backface[..., None], -normal, normal)
+
+    def tex_rgb(slot, uv):
+        idx = scene.mat_tex[mat, slot]
+        sample = sample_bilinear(scene.atlas, scene.tex_offset,
+                                 scene.tex_size, idx, uv)
+        return jnp.where((idx >= 0)[..., None], sample[..., :3], 1.0), idx
+
+    # Normal mapping (RayGen.rgen:74-82): both frames are computed and the
+    # per-lane choice is a select (lockstep SIMD, like the GPU's divergent
+    # branch).
+    tbn = brdf_lib.make_tbn(normal)
+    n_idx = scene.mat_tex[mat, 2]
+    has_nm = n_idx >= 0
+    ns = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
+                         n_idx, uv)[..., :3] * 2.0 - 1.0
+    scale = scene.mat_params[mat, 2]
+    ns = _normalize(ns * jnp.stack(
+        [scale, scale, jnp.ones_like(scale)], axis=-1))
+    tbn_t = brdf_lib.make_tbn_with_tangent(normal, tangent)
+    perturbed = _normalize(brdf_lib.tangent_to_world(ns, tbn_t))
+    tbn_nm = brdf_lib.make_tbn(perturbed)
+    tbn = tuple(
+        jnp.where(has_nm[..., None], a, b) for a, b in zip(tbn_nm, tbn))
+
+    base_rgb, b_idx = tex_rgb(0, uv)
+    base_color = to_linear(scene.mat_base_color[mat, :3] * base_rgb)
+
+    rm_idx = scene.mat_tex[mat, 1]
+    rm = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
+                         rm_idx, uv)
+    rough_tex = jnp.where(rm_idx >= 0, rm[..., 1], 1.0)
+    metal_tex = jnp.where(rm_idx >= 0, rm[..., 2], 1.0)
+    roughness = scene.mat_params[mat, 0] * rough_tex
+    metallic = scene.mat_params[mat, 1] * metal_tex
+
+    em_rgb, _ = tex_rgb(4, uv)
+    emission = to_linear(scene.mat_emission[mat] * em_rgb)
+
+    surface = brdf_lib.make_surface(base_color, roughness, metallic, emission)
+    return surface, tbn
+
+
+# ---------------------------------------------------------------------------
+# Next-event estimation (RayGen.rgen:180-305)
+# ---------------------------------------------------------------------------
+
+def _estimate_lights(scene: FlatScene, n, p):
+    """Per-light irradiance estimate (EstimateLight, RayGen.rgen:180-197).
+    Returns (N, L) for the first light_count lights."""
+    loc = scene.light_location[:scene.light_count]          # (L, 4)
+    color = scene.light_color[:scene.light_count, :3]       # (L, 3)
+    direction = loc[None, :, :3] - p[:, None, :] * loc[None, :, 3:4]
+    dist2 = jnp.sum(direction * direction, axis=-1)
+    attenuation = jnp.where(loc[None, :, 3] == 0.0, 1.0,
+                            jnp.where(dist2 == 0.0, 1e10, 1.0 / dist2))
+    l = _normalize(direction)
+    nol = jnp.maximum(jnp.sum(n[:, None, :] * l, axis=-1), 0.0)
+    return attenuation * nol * luminance(color)[None, :]
+
+
+def _light_distortion(n, w, seed):
+    """ComputeLightDistortion (RayGen.rgen:251-266): disk/sphere jitter of
+    the light direction for soft penumbrae."""
+    u = jnp.stack([n[..., 1], -n[..., 0], jnp.zeros_like(n[..., 0])],
+                  axis=-1)
+    u_len = jnp.linalg.norm(u, axis=-1, keepdims=True)
+    u = jnp.where(u_len > 1e-12, u / jnp.maximum(u_len, 1e-20),
+                  jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
+    v = _normalize(jnp.cross(n, u))
+    theta, seed = rng.next_float(seed)
+    theta = theta * 2.0 * PI
+    offset = jnp.cos(theta)[..., None] * u + jnp.sin(theta)[..., None] * v
+    r, seed = rng.next_float(seed)
+    d = jnp.sqrt(jnp.maximum(1.0 - r * r, 0.0))
+    offset = offset * r[..., None] + _normalize(n) * (d * w)[..., None]
+    return offset, seed
+
+
+def direct_lighting(scene: FlatScene, bvh: BVH, surface, tbn, p, wo, seed,
+                    max_alpha_retrace: int):
+    """DirectLighting (RayGen.rgen:268-305).  Returns (radiance, seed)."""
+    n = tbn[2]
+    estimates = _estimate_lights(scene, n, p)            # (N, L)
+    cum = jnp.cumsum(estimates, axis=-1)
+    total = cum[:, -1]
+    has_light = total > 0.0
+    cum_norm = cum / jnp.maximum(total, 1e-20)[:, None]
+
+    pick, seed = rng.next_float(seed)
+    # First index with pick < cum_norm[i] (RayGen.rgen:226-234).
+    light_index = jnp.sum(
+        (pick[:, None] >= cum_norm[:, :-1]).astype(jnp.int32), axis=-1)
+    pdf = jnp.take_along_axis(
+        estimates / jnp.maximum(total, 1e-20)[:, None],
+        light_index[:, None], axis=1)[:, 0]
+
+    loc = scene.light_location[light_index]              # (N, 4)
+    color = scene.light_color[light_index, :3]
+    is_point = loc[..., 3]
+
+    direction = loc[..., :3] - p * is_point[..., None]
+    distortion, seed = _light_distortion(-direction, is_point, seed)
+    radius = jnp.where(is_point == 0.0, DIRECT_LIGHT_DISK_RADIUS,
+                       POINT_LIGHT_RADIUS)
+    direction = direction + distortion * radius[..., None]
+
+    distance = jnp.where(is_point == 0.0, RAY_MAX_T,
+                         jnp.linalg.norm(direction, axis=-1))
+    attenuation = jnp.where(is_point == 0.0, 1.0,
+                            1.0 / jnp.maximum(distance * distance, 1e-20))
+    direction = _normalize(direction)
+
+    wi = brdf_lib.world_to_tangent(direction, tbn)
+    wh = _normalize(wo + wi)
+
+    origin = p + n * BIAS
+    occluded = trace_visibility(scene, bvh, origin, direction,
+                                RAY_MIN_T, distance, max_alpha_retrace)
+
+    f = brdf_lib.evaluate_brdf(surface, wo, wi, wh)
+    contrib = (f * brdf_lib.cos_theta(wi)[..., None] * color
+               * (attenuation / jnp.maximum(pdf, 1e-20))[..., None])
+    visible = has_light & ~occluded
+    return jnp.where(visible[..., None], contrib, 0.0), seed
+
+
+# ---------------------------------------------------------------------------
+# The bounce loop (RayGen.rgen:322-412)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "config", "render_to_cube"))
+def render_sample(scene: FlatScene, bvh: BVH, inverse_view, inverse_proj,
+                  camera_near, camera_far, width: int, height: int,
+                  accumulation_index, sample_index,
+                  config: RenderConfig = RenderConfig(),
+                  render_to_cube: bool = False):
+    """One sample per pixel of path-traced irradiance, clamped; shape
+    (H, W, 3) float32 linear (pre-tonemap)."""
+    ys, xs = jnp.meshgrid(jnp.arange(height, dtype=jnp.uint32),
+                          jnp.arange(width, dtype=jnp.uint32), indexing="ij")
+    total = jnp.zeros((height * width, 3), jnp.float32)
+
+    for s in range(config.sample_count):
+        seed = rng.make_seed(xs.reshape(-1), ys.reshape(-1),
+                             jnp.uint32(s) + jnp.uint32(sample_index),
+                             jnp.asarray(accumulation_index, jnp.uint32))
+        o, d, seed = primary_rays(inverse_view, inverse_proj, width, height,
+                                  seed, render_to_cube)
+
+        irradiance = jnp.zeros((height * width, 3), jnp.float32)
+        throughput = jnp.ones((height * width, 3), jnp.float32)
+        ray_pdf = jnp.ones((height * width,), jnp.float32)
+        alive = jnp.ones((height * width,), bool)
+        t_min = jnp.full((height * width,), camera_near, jnp.float32)
+        t_max = jnp.full((height * width,), camera_far, jnp.float32)
+
+        for bounce in range(config.max_bounce_count):
+            rec = trace_material_ray(
+                scene, bvh, o, d, t_min, t_max,
+                cull_backface=config.backface_culling,
+                max_alpha_retrace=config.max_alpha_retrace)
+
+            weight = throughput / jnp.maximum(ray_pdf, 1e-30)[..., None]
+
+            # Miss -> environment (RayGen.rgen:353-357).
+            missed = alive & ~rec["hit"]
+            env = sample_cube(scene.env_cube, d)
+            irradiance = irradiance + jnp.where(
+                missed[..., None], env * weight, 0.0)
+
+            alive = alive & rec["hit"]
+
+            surface, tbn = unpack_material(scene, rec, d)
+
+            # Emission (RayGen.rgen:361).
+            irradiance = irradiance + jnp.where(
+                alive[..., None], surface["emission"] * weight, 0.0)
+
+            p = o + d * rec["t"][..., None]
+            wo = brdf_lib.world_to_tangent(-d, tbn)
+            wo = _normalize(wo)
+
+            # NEE against punctual lights (RayGen.rgen:366-371).
+            if scene.light_count > 0:
+                direct, seed = direct_lighting(
+                    scene, bvh, surface, tbn, p, wo, seed,
+                    config.max_alpha_retrace)
+                irradiance = irradiance + jnp.where(
+                    alive[..., None], direct * weight, 0.0)
+
+            # BRDF sample (RayGen.rgen:374-385).
+            f, wi, pdf, seed = brdf_lib.sample_brdf(surface, wo, seed)
+            black = jnp.sum(f * f, axis=-1) < EPSILON
+            alive = alive & (pdf >= EPSILON) & ~black
+
+            throughput = jnp.where(
+                alive[..., None],
+                throughput * f * brdf_lib.cos_theta(wi)[..., None],
+                throughput)
+            ray_pdf = jnp.where(alive, ray_pdf * pdf, ray_pdf)
+
+            # Russian roulette (RayGen.rgen:387-395).
+            if bounce >= config.min_bounce_count:
+                threshold = jnp.maximum(
+                    config.rr_min_threshold,
+                    1.0 - jnp.max(throughput, axis=-1))
+                r, seed = rng.next_float(seed)
+                die = r < threshold
+                alive = alive & ~die
+                throughput = jnp.where(
+                    alive[..., None],
+                    throughput / jnp.maximum(1.0 - threshold, 1e-20)[..., None],
+                    throughput)
+
+            o = p
+            d = brdf_lib.tangent_to_world(wi, tbn)
+            t_min = jnp.full_like(t_min, RAY_MIN_T)
+            t_max = jnp.full_like(t_max, RAY_MAX_T)
+
+        total = total + jnp.minimum(irradiance, config.max_irradiance)
+
+    result = total / config.sample_count
+    return result.reshape(height, width, 3)

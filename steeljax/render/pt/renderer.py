@@ -1,0 +1,149 @@
+"""PathTracingRenderer: accumulation state + frame step around the
+integrator.
+
+The analog of Source/Engine/Render/PathTracingRenderer.{hpp,cpp}: owns the
+R32G32B32A32 accumulation image as an explicit JAX array (which makes
+checkpointing trivial — SURVEY.md §5), resets it on camera/scene/resize
+events (PathTracingRenderer.cpp:146-170, 293-311, 346-349), and applies the
+filmic tone map for display output (RayGen.rgen:420-424).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from steeljax.accel.bvh import BVH, apply_permutation, build_bvh
+from steeljax.core import camera as camera_lib
+from steeljax.core.colors import tone_map
+from steeljax.core.config import RenderConfig
+from steeljax.env.panorama import panorama_to_cube
+from steeljax.io import image as image_io
+from steeljax.render.pt.integrator import render_sample
+from steeljax.scene.flatten import FlatScene, flatten_scene
+from steeljax.scene.scene import Scene
+
+
+@struct.dataclass
+class AccumulationState:
+    accumulated: jnp.ndarray  # (H, W, 3) float32 running mean
+    index: jnp.ndarray        # () int32 — samples accumulated so far
+
+
+def init_accumulation(width: int, height: int) -> AccumulationState:
+    return AccumulationState(
+        accumulated=jnp.zeros((height, width, 3), jnp.float32),
+        index=jnp.zeros((), jnp.int32))
+
+
+def accumulate(state: AccumulationState,
+               result: jnp.ndarray) -> AccumulationState:
+    """Running mean (AccumulateResult, RayGen.rgen:307-320)."""
+    idx = state.index.astype(jnp.float32)
+    merged = (result + idx * state.accumulated) / (idx + 1.0)
+    return AccumulationState(accumulated=merged, index=state.index + 1)
+
+
+def prepare_scene(scene: Scene, env_resolution: int = 256,
+                  use_default_environment: bool = True
+                  ) -> tuple[FlatScene, BVH]:
+    """Flatten + build acceleration structure + environment cubemap.
+
+    Scenes without a loadable panorama get the procedural sky when
+    `use_default_environment` (Config::kUseDefaultAssets analog)."""
+    env_cube = None
+    if scene.environment_path and Path(scene.environment_path).exists():
+        panorama = image_io.load_hdr(scene.environment_path)
+        env_cube = np.asarray(panorama_to_cube(panorama, env_resolution))
+    elif use_default_environment:
+        from steeljax.env.sky import procedural_sky_cube
+        env_cube = procedural_sky_cube(env_resolution)
+    flat = flatten_scene(scene, env_cube)
+
+    tri_pos = np.asarray(flat.tri_pos)
+    result = build_bvh(tri_pos)
+    bvh = result[0]
+    permuted = apply_permutation(result, {
+        "tri_pos": tri_pos,
+        "tri_nrm": np.asarray(flat.tri_nrm),
+        "tri_tan": np.asarray(flat.tri_tan),
+        "tri_uv": np.asarray(flat.tri_uv),
+        "tri_mat": np.asarray(flat.tri_mat),
+        "tri_double_sided": np.asarray(flat.tri_double_sided),
+    })
+    flat = flat.replace(
+        tri_pos=jnp.asarray(permuted["tri_pos"]),
+        tri_nrm=jnp.asarray(permuted["tri_nrm"]),
+        tri_tan=jnp.asarray(permuted["tri_tan"]),
+        tri_uv=jnp.asarray(permuted["tri_uv"]),
+        tri_mat=jnp.asarray(permuted["tri_mat"]),
+        tri_double_sided=jnp.asarray(permuted["tri_double_sided"]),
+    )
+    return flat, bvh
+
+
+class PathTracingRenderer:
+    """Host-side driver: owns device scene arrays and accumulation state."""
+
+    def __init__(self, scene: Scene, width: int, height: int,
+                 config: RenderConfig = RenderConfig()):
+        self.scene = scene
+        self.width = width
+        self.height = height
+        self.config = config
+        self.flat, self.bvh = prepare_scene(scene)
+        self.state = init_accumulation(width, height)
+        self._set_camera_arrays()
+
+    def _set_camera_arrays(self) -> None:
+        projection = dataclasses.replace(
+            self.scene.camera_projection)
+        frame = camera_lib.make_frame(
+            self.scene.camera_location, projection,
+            reverse_depth=self.config.reverse_depth)
+        self.inverse_view = jnp.asarray(frame.inverse_view)
+        self.inverse_proj = jnp.asarray(frame.inverse_proj)
+        self.camera_near = frame.camera_near
+        self.camera_far = frame.camera_far
+
+    def reset_accumulation(self) -> None:
+        """eCameraUpdate / resize / scene-register reset
+        (PathTracingRenderer.cpp:346-349)."""
+        self.state = init_accumulation(self.width, self.height)
+
+    def set_camera(self, location=None, projection=None) -> None:
+        if location is not None:
+            self.scene.camera_location = location
+        if projection is not None:
+            self.scene.camera_projection = projection
+        self._set_camera_arrays()
+        self.reset_accumulation()
+
+    def render_frame(self) -> np.ndarray:
+        """One 1-spp frame folded into the accumulator; returns the
+        tone-mapped display image (H, W, 3) float in [0, 1]."""
+        result = render_sample(
+            self.flat, self.bvh, self.inverse_view, self.inverse_proj,
+            self.camera_near, self.camera_far, self.width, self.height,
+            accumulation_index=self.state.index, sample_index=0,
+            config=self.config)
+        if self.config.accumulation:
+            self.state = accumulate(self.state, result)
+            shown = self.state.accumulated
+        else:
+            shown = result
+        if self.config.render_to_hdr:
+            return np.asarray(shown)
+        return np.asarray(tone_map(shown))
+
+    def render(self, spp: int) -> np.ndarray:
+        """Accumulate `spp` frames and return the final display image."""
+        image = None
+        for _ in range(spp):
+            image = self.render_frame()
+        return image

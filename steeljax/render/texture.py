@@ -1,0 +1,52 @@
+"""Bindless-style texture sampling from the flat texel pool.
+
+The reference binds `sampler2D materialTextures[1024]` with linear-repeat
+samplers (TextureCache.cpp:11-34); ray-generation shaders sample implicit
+lod 0 (no derivatives in RT stages), so bilinear lod-0 here is exact parity
+for the path tracer.  Textures live in one flat (N, 4) uint8 pool with
+per-texture offset/size descriptors (scene.flatten), so a sample is four
+gathers + a lerp — TPU-friendly since all lanes share the pool.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def sample_bilinear(atlas, tex_offset, tex_size, tex_id, uv):
+    """Bilinear repeat-wrap sample at lod 0.
+
+    atlas: (N, 4) uint8; tex_id: (...,) int32 (callers mask id < 0
+    themselves); uv: (..., 2) float32.  Returns (..., 4) float32 in [0, 1].
+    """
+    tid = jnp.maximum(tex_id, 0)
+    w = tex_size[tid, 0]
+    h = tex_size[tid, 1]
+    off = tex_offset[tid]
+
+    x = uv[..., 0] * w.astype(jnp.float32) - 0.5
+    y = uv[..., 1] * h.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    def wrap(i, n):
+        return jnp.mod(i.astype(jnp.int32), n)
+
+    x0i = wrap(x0, w)
+    x1i = wrap(x0 + 1, w)
+    y0i = wrap(y0, h)
+    y1i = wrap(y0 + 1, h)
+
+    def fetch(xi, yi):
+        idx = off + yi * w + xi
+        return atlas[idx].astype(jnp.float32) * (1.0 / 255.0)
+
+    c00 = fetch(x0i, y0i)
+    c10 = fetch(x1i, y0i)
+    c01 = fetch(x0i, y1i)
+    c11 = fetch(x1i, y1i)
+    top = c00 * (1.0 - fx) + c10 * fx
+    bot = c01 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy

@@ -1,0 +1,181 @@
+"""Scene -> FlatScene: flat device arrays for rendering.
+
+The reference re-builds its TLAS from the entity view every frame
+(SceneRenderer.cpp:179-218); steeljax's equivalent "build" flattens all
+renderable instances into world-space triangle arrays (SoA) on the host and
+ships them to the device, where the LBVH (steeljax.accel) indexes them.
+Descriptor sets (materials UBO, bindless texture array, per-primitive
+SSBOs — PathTracing.layout:19-30) become a single pytree of arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from steeljax.core.constants import MAX_LIGHT_COUNT
+from steeljax.scene.material import MaterialFlags
+from steeljax.scene.scene import Scene
+
+
+@struct.dataclass
+class FlatScene:
+    # Geometry (world space), one row per triangle.
+    tri_pos: jnp.ndarray   # (T, 3, 3) float32
+    tri_nrm: jnp.ndarray   # (T, 3, 3) float32 shading normals
+    tri_tan: jnp.ndarray   # (T, 3, 3) float32 tangents
+    tri_uv: jnp.ndarray    # (T, 3, 2) float32
+    tri_mat: jnp.ndarray   # (T,) int32 material id
+    tri_double_sided: jnp.ndarray  # (T,) bool — disables backface culling
+    # (GetTlasInstance facing-cull-disable, SceneHelpers.cpp:166-192)
+
+    # Materials (gpu::Material, Common.h:30-45).
+    mat_base_color: jnp.ndarray  # (M, 4) float32
+    mat_emission: jnp.ndarray    # (M, 3) float32
+    mat_params: jnp.ndarray      # (M, 5) float32: rough, metal, normal_scale,
+    #                                              occlusion, alpha_cutoff
+    mat_tex: jnp.ndarray         # (M, 5) int32: base, roughMetal, normal,
+    #                                            occlusion, emission (-1 none)
+    mat_flags: jnp.ndarray       # (M,) int32 MaterialFlags bits
+
+    # Bindless texture array -> one flat texel pool + per-texture descriptors.
+    atlas: jnp.ndarray        # (N, 4) uint8 texels
+    tex_offset: jnp.ndarray   # (K,) int32 texel offset into atlas
+    tex_size: jnp.ndarray     # (K, 2) int32 (width, height)
+
+    # Lights (gpu::Light, Common.h:24-28), padded to MAX_LIGHT_COUNT.
+    light_location: jnp.ndarray  # (16, 4) float32, w = isPoint
+    light_color: jnp.ndarray     # (16, 4) float32
+
+    # Environment cubemap (+X -X +Y -Y +Z -Z), linear RGB.
+    env_cube: jnp.ndarray  # (6, R, R, 3) float32
+
+    # Static (trace-time) metadata.
+    light_count: int = struct.field(pytree_node=False, default=0)
+    env_enabled: bool = struct.field(pytree_node=False, default=False)
+    any_alpha_test: bool = struct.field(pytree_node=False, default=False)
+
+    @property
+    def triangle_count(self) -> int:
+        return self.tri_pos.shape[0]
+
+
+def _normal_matrix(world: np.ndarray) -> np.ndarray:
+    return np.linalg.inv(world[:3, :3]).T
+
+
+def flatten_scene(scene: Scene, env_cube: np.ndarray | None = None) -> FlatScene:
+    tri_pos, tri_nrm, tri_tan, tri_uv, tri_mat, tri_ds = [], [], [], [], [], []
+
+    for entity_index in scene.renderable_entities():
+        world = scene.world_transform(entity_index)
+        nmat = _normal_matrix(world)
+        for ro in scene.entities[entity_index].render_objects:
+            prim = scene.primitives[ro.primitive]
+            mat = scene.materials[ro.material]
+            tri = prim.indices.reshape(-1, 3)
+
+            pos = prim.positions @ world[:3, :3].T + world[:3, 3]
+            nrm = prim.normals @ nmat.T
+            nrm /= np.maximum(
+                np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+            tan = prim.tangents @ world[:3, :3].T
+            tan /= np.maximum(
+                np.linalg.norm(tan, axis=-1, keepdims=True), 1e-20)
+
+            tri_pos.append(pos[tri].astype(np.float32))
+            tri_nrm.append(nrm[tri].astype(np.float32))
+            tri_tan.append(tan[tri].astype(np.float32))
+            tri_uv.append(prim.tex_coords[tri].astype(np.float32))
+            tri_mat.append(np.full(len(tri), ro.material, np.int32))
+            tri_ds.append(np.full(len(tri), mat.double_sided, bool))
+
+    if tri_pos:
+        tri_pos = np.concatenate(tri_pos)
+        tri_nrm = np.concatenate(tri_nrm)
+        tri_tan = np.concatenate(tri_tan)
+        tri_uv = np.concatenate(tri_uv)
+        tri_mat = np.concatenate(tri_mat)
+        tri_ds = np.concatenate(tri_ds)
+    else:
+        tri_pos = np.zeros((0, 3, 3), np.float32)
+        tri_nrm = np.zeros((0, 3, 3), np.float32)
+        tri_tan = np.zeros((0, 3, 3), np.float32)
+        tri_uv = np.zeros((0, 3, 2), np.float32)
+        tri_mat = np.zeros((0,), np.int32)
+        tri_ds = np.zeros((0,), bool)
+
+    # Materials.
+    mats = scene.materials or []
+    m = max(len(mats), 1)
+    mat_base_color = np.ones((m, 4), np.float32)
+    mat_emission = np.zeros((m, 3), np.float32)
+    mat_params = np.tile(
+        np.array([1, 1, 1, 1, 0.5], np.float32), (m, 1))
+    mat_tex = np.full((m, 5), -1, np.int32)
+    mat_flags = np.zeros((m,), np.int32)
+    for i, mat in enumerate(mats):
+        mat_base_color[i] = mat.base_color_factor
+        mat_emission[i] = mat.emission_factor[:3]
+        mat_params[i] = [mat.roughness_factor, mat.metallic_factor,
+                         mat.normal_scale, mat.occlusion_strength,
+                         mat.alpha_cutoff]
+        mat_tex[i] = [mat.base_color_texture, mat.roughness_metallic_texture,
+                      mat.normal_texture, mat.occlusion_texture,
+                      mat.emission_texture]
+        mat_flags[i] = int(mat.flags)
+
+    # Texture pool.
+    if scene.textures:
+        offsets, sizes, chunks = [], [], []
+        total = 0
+        for tex in scene.textures:
+            h, w = tex.shape[:2]
+            offsets.append(total)
+            sizes.append((w, h))
+            chunks.append(tex.reshape(-1, 4))
+            total += w * h
+        atlas = np.concatenate(chunks)
+        tex_offset = np.asarray(offsets, np.int32)
+        tex_size = np.asarray(sizes, np.int32)
+    else:
+        atlas = np.zeros((1, 4), np.uint8)
+        tex_offset = np.zeros((1,), np.int32)
+        tex_size = np.ones((1, 2), np.int32)
+
+    # Lights, padded to the reference's fixed UBO size (Common.h:4).
+    locations, colors = scene.gather_lights()
+    light_count = min(len(locations), MAX_LIGHT_COUNT)
+    light_location = np.zeros((MAX_LIGHT_COUNT, 4), np.float32)
+    light_color = np.zeros((MAX_LIGHT_COUNT, 4), np.float32)
+    light_location[:light_count] = locations[:light_count]
+    light_color[:light_count] = colors[:light_count]
+
+    env_enabled = env_cube is not None
+    if env_cube is None:
+        env_cube = np.zeros((6, 1, 1, 3), np.float32)
+
+    any_alpha_test = any(
+        (f & MaterialFlags.ALPHA_TEST) and t[0] >= 0
+        for f, t in zip(mat_flags, mat_tex))
+
+    return FlatScene(
+        tri_pos=jnp.asarray(tri_pos), tri_nrm=jnp.asarray(tri_nrm),
+        tri_tan=jnp.asarray(tri_tan), tri_uv=jnp.asarray(tri_uv),
+        tri_mat=jnp.asarray(tri_mat), tri_double_sided=jnp.asarray(tri_ds),
+        mat_base_color=jnp.asarray(mat_base_color),
+        mat_emission=jnp.asarray(mat_emission),
+        mat_params=jnp.asarray(mat_params),
+        mat_tex=jnp.asarray(mat_tex),
+        mat_flags=jnp.asarray(mat_flags),
+        atlas=jnp.asarray(atlas),
+        tex_offset=jnp.asarray(tex_offset),
+        tex_size=jnp.asarray(tex_size),
+        light_location=jnp.asarray(light_location),
+        light_color=jnp.asarray(light_color),
+        env_cube=jnp.asarray(env_cube),
+        light_count=int(light_count),
+        env_enabled=bool(env_enabled),
+        any_alpha_test=bool(any_alpha_test),
+    )
