@@ -1,0 +1,69 @@
+"""Headless render CLI — the Engine::Run analog (SURVEY.md §7 apps/).
+
+Renders N accumulated frames of a GLTF scene (or the built-in Cornell) and
+writes a PNG.  Usage:
+
+    python -m steeljax.apps.render_cli SCENE.gltf -o out.png --spp 64
+    python -m steeljax.apps.render_cli builtin:cornell --size 640x360
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("scene", help="GLTF path or builtin:cornell")
+    parser.add_argument("-o", "--output", default="render.png")
+    parser.add_argument("--size", default="1280x720",
+                        help="WIDTHxHEIGHT (default 1280x720)")
+    parser.add_argument("--spp", type=int, default=16,
+                        help="accumulated samples per pixel")
+    parser.add_argument("--mode", choices=["pt", "hybrid"], default="pt")
+    parser.add_argument("--hdr", action="store_true",
+                        help="skip tone mapping (linear output)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend")
+    args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from steeljax.core.config import RenderConfig
+    from steeljax.io.image import write_png
+    from steeljax.scene import load_scene
+    from steeljax.scene.builtin import make_cornell_scene
+
+    width, height = (int(v) for v in args.size.split("x"))
+
+    if args.scene == "builtin:cornell":
+        scene = make_cornell_scene()
+    else:
+        scene = load_scene(args.scene)
+
+    config = RenderConfig(width=width, height=height,
+                          render_to_hdr=args.hdr)
+
+    t0 = time.time()
+    if args.mode == "pt":
+        from steeljax.render.pt.renderer import PathTracingRenderer
+        renderer = PathTracingRenderer(scene, width, height, config)
+        image = renderer.render(args.spp)
+    else:
+        from steeljax.render.hybrid.renderer import HybridRenderer
+        renderer = HybridRenderer(scene, width, height, config)
+        image = renderer.render_frame()
+    print(f"rendered {args.mode} {width}x{height} spp={args.spp} "
+          f"in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    write_png(args.output, image)
+    print(args.output)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

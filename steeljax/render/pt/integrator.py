@@ -49,14 +49,12 @@ def _normalize(v):
 # Ray generation (RayGen.rgen:52-70)
 # ---------------------------------------------------------------------------
 
-def primary_rays(inverse_view, inverse_proj, width, height, seed,
+def primary_rays(inverse_view, inverse_proj, width, height, px, py, seed,
                  render_to_cube: bool = False):
-    """Jittered primary rays for every pixel; returns (o, d, seed) with
-    o/d shaped (H*W, 3)."""
-    ys, xs = jnp.meshgrid(jnp.arange(height), jnp.arange(width),
-                          indexing="ij")
-    xs = xs.reshape(-1).astype(jnp.float32)
-    ys = ys.reshape(-1).astype(jnp.float32)
+    """Jittered primary rays for pixels (px, py); returns (o, d, seed) with
+    o/d shaped (N, 3)."""
+    xs = px.astype(jnp.float32)
+    ys = py.astype(jnp.float32)
 
     jitter, seed = rng.next_vec2(seed)
     u = (xs + jitter[..., 0]) / width
@@ -301,33 +299,40 @@ def direct_lighting(scene: FlatScene, bvh: BVH, surface, tbn, p, wo, seed,
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "config", "render_to_cube"))
-def render_sample(scene: FlatScene, bvh: BVH, inverse_view, inverse_proj,
+    jax.jit, static_argnames=("width", "height", "config", "render_to_cube",
+                              "return_stats"))
+def render_pixels(scene: FlatScene, bvh: BVH, inverse_view, inverse_proj,
                   camera_near, camera_far, width: int, height: int,
-                  accumulation_index, sample_index,
+                  px, py, accumulation_index, sample_index,
                   config: RenderConfig = RenderConfig(),
-                  render_to_cube: bool = False):
-    """One sample per pixel of path-traced irradiance, clamped; shape
-    (H, W, 3) float32 linear (pre-tonemap)."""
-    ys, xs = jnp.meshgrid(jnp.arange(height, dtype=jnp.uint32),
-                          jnp.arange(width, dtype=jnp.uint32), indexing="ij")
-    total = jnp.zeros((height * width, 3), jnp.float32)
+                  render_to_cube: bool = False,
+                  return_stats: bool = False):
+    """One path-traced irradiance sample for each pixel in (px, py);
+    returns (N, 3) float32 linear (pre-tonemap, clamped).
+
+    This is the sharding granule: px/py may be laid out across a device
+    mesh (pure data parallelism over pixels — the TPU analog of
+    traceRaysKHR(W, H), SURVEY.md §2.7)."""
+    count = px.shape[0]
+    total = jnp.zeros((count, 3), jnp.float32)
+    rays_traced = jnp.zeros((), jnp.float32)  # segments + shadow rays
 
     for s in range(config.sample_count):
-        seed = rng.make_seed(xs.reshape(-1), ys.reshape(-1),
+        seed = rng.make_seed(px.astype(jnp.uint32), py.astype(jnp.uint32),
                              jnp.uint32(s) + jnp.uint32(sample_index),
                              jnp.asarray(accumulation_index, jnp.uint32))
         o, d, seed = primary_rays(inverse_view, inverse_proj, width, height,
-                                  seed, render_to_cube)
+                                  px, py, seed, render_to_cube)
 
-        irradiance = jnp.zeros((height * width, 3), jnp.float32)
-        throughput = jnp.ones((height * width, 3), jnp.float32)
-        ray_pdf = jnp.ones((height * width,), jnp.float32)
-        alive = jnp.ones((height * width,), bool)
-        t_min = jnp.full((height * width,), camera_near, jnp.float32)
-        t_max = jnp.full((height * width,), camera_far, jnp.float32)
+        irradiance = jnp.zeros((count, 3), jnp.float32)
+        throughput = jnp.ones((count, 3), jnp.float32)
+        ray_pdf = jnp.ones((count,), jnp.float32)
+        alive = jnp.ones((count,), bool)
+        t_min = jnp.full((count,), camera_near, jnp.float32)
+        t_max = jnp.full((count,), camera_far, jnp.float32)
 
         for bounce in range(config.max_bounce_count):
+            rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
             rec = trace_material_ray(
                 scene, bvh, o, d, t_min, t_max,
                 cull_backface=config.backface_culling,
@@ -355,6 +360,8 @@ def render_sample(scene: FlatScene, bvh: BVH, inverse_view, inverse_proj,
 
             # NEE against punctual lights (RayGen.rgen:366-371).
             if scene.light_count > 0:
+                rays_traced = rays_traced + jnp.sum(
+                    alive.astype(jnp.float32))
                 direct, seed = direct_lighting(
                     scene, bvh, surface, tbn, p, wo, seed,
                     config.max_alpha_retrace)
@@ -393,4 +400,21 @@ def render_sample(scene: FlatScene, bvh: BVH, inverse_view, inverse_proj,
         total = total + jnp.minimum(irradiance, config.max_irradiance)
 
     result = total / config.sample_count
+    if return_stats:
+        return result, {"rays_traced": rays_traced}
+    return result
+
+
+def render_sample(scene: FlatScene, bvh: BVH, inverse_view, inverse_proj,
+                  camera_near, camera_far, width: int, height: int,
+                  accumulation_index, sample_index,
+                  config: RenderConfig = RenderConfig(),
+                  render_to_cube: bool = False):
+    """Full-frame convenience wrapper around render_pixels; (H, W, 3)."""
+    ys, xs = jnp.meshgrid(jnp.arange(height, dtype=jnp.int32),
+                          jnp.arange(width, dtype=jnp.int32), indexing="ij")
+    result = render_pixels(
+        scene, bvh, inverse_view, inverse_proj, camera_near, camera_far,
+        width, height, xs.reshape(-1), ys.reshape(-1),
+        accumulation_index, sample_index, config, render_to_cube)
     return result.reshape(height, width, 3)

@@ -195,6 +195,9 @@ class Scene:
                 if v >= 0:
                     setattr(mat, field, shift(v, info.textures))
 
+        def in_range(value: int, rng: StorageRange) -> bool:
+            return rng.offset <= value < rng.offset + rng.size
+
         keep = [i for i, e in enumerate(self.entities)
                 if e.prefab_definition != name]
         remap = {old: new for new, old in enumerate(keep)}
@@ -202,10 +205,13 @@ class Scene:
         for old in keep:
             e = self.entities[old]
             e.parent = remap.get(e.parent, -1) if e.parent >= 0 else -1
+            # Live instances of the erased prefab lose the render objects
+            # that referenced its storages.
             e.render_objects = [
                 RenderObject(shift(ro.primitive, info.primitives),
                              shift(ro.material, info.materials))
                 for ro in e.render_objects
+                if not in_range(ro.primitive, info.primitives)
             ]
             new_entities.append(e)
         self.entities = new_entities

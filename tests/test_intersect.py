@@ -1,0 +1,130 @@
+"""Moller-Trumbore and BVH traversal correctness."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from steeljax.accel import (apply_permutation, build_bvh, trace_any,
+                            trace_nearest, trace_nearest_brute)
+from steeljax.accel.intersect import intersect
+
+
+def _tri(v0, v1, v2):
+    v0, v1, v2 = (np.asarray(v, np.float32) for v in (v0, v1, v2))
+    return v0[None], (v1 - v0)[None], (v2 - v0)[None]
+
+
+def test_hit_frontface():
+    v0, e1, e2 = _tri([-1, -1, 0], [1, -1, 0], [0, 1, 0])
+    t, u, v, hit = intersect(
+        jnp.asarray([0.0, 0.0, 5.0]), jnp.asarray([0.0, 0.0, -1.0]),
+        jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
+        jnp.asarray([False]), 0.001, 100.0, cull_backface=True)
+    assert bool(hit[0])
+    assert abs(float(t[0]) - 5.0) < 1e-5
+
+
+def test_backface_culled_unless_double_sided():
+    # Same triangle seen from behind (ray travels +Z).
+    v0, e1, e2 = _tri([-1, -1, 0], [1, -1, 0], [0, 1, 0])
+    args = (jnp.asarray([0.0, 0.0, -5.0]), jnp.asarray([0.0, 0.0, 1.0]),
+            jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2))
+    _, _, _, hit = intersect(*args, jnp.asarray([False]), 0.001, 100.0,
+                             cull_backface=True)
+    assert not bool(hit[0])
+    _, _, _, hit = intersect(*args, jnp.asarray([True]), 0.001, 100.0,
+                             cull_backface=True)
+    assert bool(hit[0])
+    _, _, _, hit = intersect(*args, jnp.asarray([False]), 0.001, 100.0,
+                             cull_backface=False)
+    assert bool(hit[0])
+
+
+def test_barycentrics_match_hit_point():
+    v0 = np.array([0, 0, 0], np.float32)
+    v1 = np.array([2, 0, 0], np.float32)
+    v2 = np.array([0, 2, 0], np.float32)
+    t, u, v, hit = intersect(
+        jnp.asarray([0.5, 0.5, 3.0]), jnp.asarray([0.0, 0.0, -1.0]),
+        jnp.asarray(v0[None]), jnp.asarray((v1 - v0)[None]),
+        jnp.asarray((v2 - v0)[None]), jnp.asarray([False]),
+        0.001, 100.0, cull_backface=False)
+    assert bool(hit[0])
+    point = v0 + float(u[0]) * (v1 - v0) + float(v[0]) * (v2 - v0)
+    np.testing.assert_allclose(point[:2], [0.5, 0.5], atol=1e-5)
+
+
+def test_miss_outside_and_range():
+    v0, e1, e2 = _tri([-1, -1, 0], [1, -1, 0], [0, 1, 0])
+    args = (jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
+            jnp.asarray([False]))
+    _, _, _, hit = intersect(jnp.asarray([5.0, 5.0, 5.0]),
+                             jnp.asarray([0.0, 0.0, -1.0]), *args,
+                             0.001, 100.0, cull_backface=False)
+    assert not bool(hit[0])
+    _, _, _, hit = intersect(jnp.asarray([0.0, 0.0, 5.0]),
+                             jnp.asarray([0.0, 0.0, -1.0]), *args,
+                             0.001, 2.0, cull_backface=False)
+    assert not bool(hit[0])  # hit at t=5 beyond t_max=2
+
+
+def _random_soup(n, seed):
+    r = np.random.default_rng(seed)
+    centers = r.uniform(-10, 10, (n, 1, 3))
+    tris = centers + r.normal(0, 0.7, (n, 3, 3))
+    return tris.astype(np.float32)
+
+
+def test_bvh_matches_brute_force():
+    tris = _random_soup(700, 1)
+    ds = np.ones(len(tris), bool)
+    result = build_bvh(tris, leaf_size=4)
+    perm = apply_permutation(result, {"p": tris, "d": ds})
+    bvh = result[0]
+    tp, tds = jnp.asarray(perm["p"]), jnp.asarray(perm["d"])
+
+    r = np.random.default_rng(2)
+    n = 256
+    o = r.uniform(-15, 15, (n, 3)).astype(np.float32)
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    a = trace_nearest(bvh, tp, tds, jnp.asarray(o), jnp.asarray(d),
+                      0.001, 1000.0, cull_backface=False)
+    b = trace_nearest_brute(tp, tds, jnp.asarray(o), jnp.asarray(d),
+                            0.001, 1000.0, cull_backface=False)
+    np.testing.assert_array_equal(np.asarray(a["hit"]), np.asarray(b["hit"]))
+    np.testing.assert_allclose(np.asarray(a["t"]), np.asarray(b["t"]),
+                               atol=1e-4)
+
+
+def test_trace_any_consistent_with_nearest():
+    tris = _random_soup(300, 3)
+    ds = np.zeros(len(tris), bool)
+    result = build_bvh(tris, leaf_size=4)
+    perm = apply_permutation(result, {"p": tris, "d": ds})
+    bvh = result[0]
+    tp, tds = jnp.asarray(perm["p"]), jnp.asarray(perm["d"])
+
+    r = np.random.default_rng(4)
+    n = 128
+    o = r.uniform(-15, 15, (n, 3)).astype(np.float32)
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    occluded = np.asarray(trace_any(bvh, tp, tds, jnp.asarray(o),
+                                    jnp.asarray(d), 0.001, 1000.0))
+    nearest = np.asarray(trace_nearest(
+        bvh, tp, tds, jnp.asarray(o), jnp.asarray(d), 0.001, 1000.0,
+        cull_backface=False)["hit"])
+    np.testing.assert_array_equal(occluded, nearest)
+
+
+def test_empty_scene():
+    tris = np.zeros((0, 3, 3), np.float32)
+    result = build_bvh(tris)
+    bvh = result[0]
+    perm = apply_permutation(result, {"p": tris, "d": np.zeros(0, bool)})
+    rec = trace_nearest(bvh, jnp.asarray(perm["p"]), jnp.asarray(perm["d"]),
+                        jnp.zeros((4, 3)), jnp.asarray([[0.0, 0.0, 1.0]] * 4),
+                        0.001, 1000.0)
+    assert not bool(np.asarray(rec["hit"]).any())
