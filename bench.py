@@ -33,7 +33,7 @@ def main() -> None:
     frames = 4
 
     scene = make_cornell_scene(sphere_detail=12)
-    flat, bvh = prepare_scene(scene, env_resolution=64)
+    flat, tables = prepare_scene(scene, env_resolution=64)
     frame = camera_lib.make_frame(scene.camera_location,
                                   scene.camera_projection)
     config = RenderConfig(width=width, height=height)
@@ -47,7 +47,7 @@ def main() -> None:
 
     def step(accum_index):
         return render_pixels(
-            flat, bvh, inverse_view, inverse_proj,
+            flat, tables, inverse_view, inverse_proj,
             frame.camera_near, frame.camera_far, width, height, px, py,
             accum_index, 0, config, return_stats=True)
 

@@ -51,7 +51,7 @@ def shard_pixels(mesh: Mesh, width: int, height: int):
             padded - count)
 
 
-def render_frame_sharded(scene, bvh, inverse_view, inverse_proj,
+def render_frame_sharded(scene, tables, inverse_view, inverse_proj,
                          camera_near, camera_far, width: int, height: int,
                          mesh: Mesh, accumulation_index=0, sample_index=0,
                          config: RenderConfig = RenderConfig()):
@@ -59,9 +59,9 @@ def render_frame_sharded(scene, bvh, inverse_view, inverse_proj,
     px, py, pad = shard_pixels(mesh, width, height)
     replicated = NamedSharding(mesh, P())
     scene = jax.device_put(scene, replicated)
-    bvh = jax.device_put(bvh, replicated)
+    tables = jax.device_put(tables, replicated)
     result = render_pixels(
-        scene, bvh, jnp.asarray(inverse_view), jnp.asarray(inverse_proj),
+        scene, tables, jnp.asarray(inverse_view), jnp.asarray(inverse_proj),
         camera_near, camera_far, width, height, px, py,
         accumulation_index, sample_index, config)
     flat = np.asarray(result)

@@ -26,8 +26,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from steeljax.accel.bvh import BVH
-from steeljax.accel.traverse import trace_any, trace_nearest
+from steeljax.accel.dispatch import TraceTables
+from steeljax.accel.dispatch import trace_any, trace_nearest
 from steeljax.core import rng
 from steeljax.core.colors import luminance, to_linear
 from steeljax.core.config import RenderConfig
@@ -104,12 +104,13 @@ def _is_alpha_test(scene: FlatScene, tri):
     return (scene.mat_flags[mat] & int(MaterialFlags.ALPHA_TEST)) != 0
 
 
-def trace_material_ray(scene: FlatScene, bvh: BVH, o, d, t_min, t_max,
+def trace_material_ray(scene: FlatScene, tables: TraceTables, o, d,
+                       t_min, t_max,
                        cull_backface: bool, max_alpha_retrace: int):
     """Nearest hit honoring any-hit alpha testing: re-trace past rejected
     hits up to `max_alpha_retrace` times (the reference's unbounded any-hit
     loop is bounded here for static control flow)."""
-    rec = trace_nearest(bvh, scene.tri_pos, scene.tri_double_sided, o, d,
+    rec = trace_nearest(tables, scene.tri_pos, scene.tri_double_sided, o, d,
                         t_min, t_max, cull_backface=cull_backface)
     if not scene.any_alpha_test:
         return rec
@@ -121,8 +122,9 @@ def trace_material_ray(scene: FlatScene, bvh: BVH, o, d, t_min, t_max,
                     & (_alpha_at(scene, rec["tri"], rec["u"], rec["v"])
                        < cutoff))
         new_tmin = rec["t"] + 1e-4
-        rec2 = trace_nearest(bvh, scene.tri_pos, scene.tri_double_sided, o, d,
-                             new_tmin, tmax, cull_backface=cull_backface)
+        rec2 = trace_nearest(tables, scene.tri_pos, scene.tri_double_sided,
+                             o, d, new_tmin, tmax,
+                             cull_backface=cull_backface)
         rec = {
             k: jnp.where(rejected, rec2[k], rec[k]) for k in rec
         }
@@ -138,14 +140,14 @@ def trace_material_ray(scene: FlatScene, bvh: BVH, o, d, t_min, t_max,
     return rec
 
 
-def trace_visibility(scene: FlatScene, bvh: BVH, o, d, t_min, t_max,
-                     max_alpha_retrace: int):
+def trace_visibility(scene: FlatScene, tables: TraceTables, o, d,
+                     t_min, t_max, max_alpha_retrace: int):
     """TraceVisibilityRay (RayGen.rgen:127-178): occlusion with alpha-test
     transparency, no backface culling.  Returns (N,) bool occluded."""
     if not scene.any_alpha_test:
-        return trace_any(bvh, scene.tri_pos, scene.tri_double_sided, o, d,
+        return trace_any(tables, scene.tri_pos, scene.tri_double_sided, o, d,
                          t_min, t_max)
-    rec = trace_material_ray(scene, bvh, o, d, t_min, t_max,
+    rec = trace_material_ray(scene, tables, o, d, t_min, t_max,
                              cull_backface=False,
                              max_alpha_retrace=max_alpha_retrace)
     return rec["hit"]
@@ -246,8 +248,8 @@ def _light_distortion(n, w, seed):
     return offset, seed
 
 
-def direct_lighting(scene: FlatScene, bvh: BVH, surface, tbn, p, wo, seed,
-                    max_alpha_retrace: int):
+def direct_lighting(scene: FlatScene, tables: TraceTables, surface, tbn,
+                    p, wo, seed, max_alpha_retrace: int):
     """DirectLighting (RayGen.rgen:268-305).  Returns (radiance, seed)."""
     n = tbn[2]
     estimates = _estimate_lights(scene, n, p)            # (N, L)
@@ -284,7 +286,7 @@ def direct_lighting(scene: FlatScene, bvh: BVH, surface, tbn, p, wo, seed,
     wh = _normalize(wo + wi)
 
     origin = p + n * BIAS
-    occluded = trace_visibility(scene, bvh, origin, direction,
+    occluded = trace_visibility(scene, tables, origin, direction,
                                 RAY_MIN_T, distance, max_alpha_retrace)
 
     f = brdf_lib.evaluate_brdf(surface, wo, wi, wh)
@@ -301,7 +303,8 @@ def direct_lighting(scene: FlatScene, bvh: BVH, surface, tbn, p, wo, seed,
 @functools.partial(
     jax.jit, static_argnames=("width", "height", "config", "render_to_cube",
                               "return_stats"))
-def render_pixels(scene: FlatScene, bvh: BVH, inverse_view, inverse_proj,
+def render_pixels(scene: FlatScene, tables: TraceTables,
+                  inverse_view, inverse_proj,
                   camera_near, camera_far, width: int, height: int,
                   px, py, accumulation_index, sample_index,
                   config: RenderConfig = RenderConfig(),
@@ -334,7 +337,7 @@ def render_pixels(scene: FlatScene, bvh: BVH, inverse_view, inverse_proj,
         for bounce in range(config.max_bounce_count):
             rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
             rec = trace_material_ray(
-                scene, bvh, o, d, t_min, t_max,
+                scene, tables, o, d, t_min, t_max,
                 cull_backface=config.backface_culling,
                 max_alpha_retrace=config.max_alpha_retrace)
 
@@ -363,7 +366,7 @@ def render_pixels(scene: FlatScene, bvh: BVH, inverse_view, inverse_proj,
                 rays_traced = rays_traced + jnp.sum(
                     alive.astype(jnp.float32))
                 direct, seed = direct_lighting(
-                    scene, bvh, surface, tbn, p, wo, seed,
+                    scene, tables, surface, tbn, p, wo, seed,
                     config.max_alpha_retrace)
                 irradiance = irradiance + jnp.where(
                     alive[..., None], direct * weight, 0.0)
@@ -405,7 +408,8 @@ def render_pixels(scene: FlatScene, bvh: BVH, inverse_view, inverse_proj,
     return result
 
 
-def render_sample(scene: FlatScene, bvh: BVH, inverse_view, inverse_proj,
+def render_sample(scene: FlatScene, tables: TraceTables,
+                  inverse_view, inverse_proj,
                   camera_near, camera_far, width: int, height: int,
                   accumulation_index, sample_index,
                   config: RenderConfig = RenderConfig(),
@@ -414,7 +418,7 @@ def render_sample(scene: FlatScene, bvh: BVH, inverse_view, inverse_proj,
     ys, xs = jnp.meshgrid(jnp.arange(height, dtype=jnp.int32),
                           jnp.arange(width, dtype=jnp.int32), indexing="ij")
     result = render_pixels(
-        scene, bvh, inverse_view, inverse_proj, camera_near, camera_far,
+        scene, tables, inverse_view, inverse_proj, camera_near, camera_far,
         width, height, xs.reshape(-1), ys.reshape(-1),
         accumulation_index, sample_index, config, render_to_cube)
     return result.reshape(height, width, 3)

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from steeljax.accel.bvh import BVH, apply_permutation, build_bvh
+from steeljax.accel.bvh import apply_permutation, build_bvh
+from steeljax.accel.dispatch import TraceTables, make_trace_tables
 from steeljax.core import camera as camera_lib
 from steeljax.core.colors import tone_map
 from steeljax.core.config import RenderConfig
@@ -50,8 +51,9 @@ def accumulate(state: AccumulationState,
 
 
 def prepare_scene(scene: Scene, env_resolution: int = 256,
-                  use_default_environment: bool = True
-                  ) -> tuple[FlatScene, BVH]:
+                  use_default_environment: bool = True,
+                  use_pallas: bool | None = None,
+                  leaf_size: int = 64) -> tuple[FlatScene, TraceTables]:
     """Flatten + build acceleration structure + environment cubemap.
 
     Scenes without a loadable panorama get the procedural sky when
@@ -66,7 +68,7 @@ def prepare_scene(scene: Scene, env_resolution: int = 256,
     flat = flatten_scene(scene, env_cube)
 
     tri_pos = np.asarray(flat.tri_pos)
-    result = build_bvh(tri_pos)
+    result = build_bvh(tri_pos, leaf_size=leaf_size)
     bvh = result[0]
     permuted = apply_permutation(result, {
         "tri_pos": tri_pos,
@@ -84,7 +86,10 @@ def prepare_scene(scene: Scene, env_resolution: int = 256,
         tri_mat=jnp.asarray(permuted["tri_mat"]),
         tri_double_sided=jnp.asarray(permuted["tri_double_sided"]),
     )
-    return flat, bvh
+    tables = make_trace_tables(bvh, permuted["tri_pos"],
+                               permuted["tri_double_sided"],
+                               use_pallas=use_pallas)
+    return flat, tables
 
 
 class PathTracingRenderer:
@@ -96,7 +101,7 @@ class PathTracingRenderer:
         self.width = width
         self.height = height
         self.config = config
-        self.flat, self.bvh = prepare_scene(scene)
+        self.flat, self.tables = prepare_scene(scene)
         self.state = init_accumulation(width, height)
         self._set_camera_arrays()
 
@@ -128,7 +133,7 @@ class PathTracingRenderer:
         """One 1-spp frame folded into the accumulator; returns the
         tone-mapped display image (H, W, 3) float in [0, 1]."""
         result = render_sample(
-            self.flat, self.bvh, self.inverse_view, self.inverse_proj,
+            self.flat, self.tables, self.inverse_view, self.inverse_proj,
             self.camera_near, self.camera_far, self.width, self.height,
             accumulation_index=self.state.index, sample_index=0,
             config=self.config)
