@@ -1,0 +1,58 @@
+"""Environment component: cubemap + IBL bakes bundle.
+
+The EnvironmentComponent analog (Source/Engine/Scene/Components/
+EnvironmentComponent.hpp:7-19 / Private/EnvironmentComponent.cpp:7-21):
+LoadEnvironment = panorama -> cubemap -> irradiance + prefiltered
+reflection + (shared) specular BRDF LUT.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from steeljax.env import ibl
+from steeljax.env.panorama import panorama_to_cube
+from steeljax.env.sky import procedural_sky_cube
+from steeljax.io import image as image_io
+
+
+@struct.dataclass
+class Environment:
+    cube: jnp.ndarray                       # (6, R, R, 3) radiance
+    irradiance: jnp.ndarray                 # (6, r, r, 3)
+    reflection_mips: tuple                  # tuple of (6, m, m, 3)
+    specular_lut: jnp.ndarray               # (L, L, 2)
+
+
+def load_environment(panorama_path: str | None = None,
+                     cube: np.ndarray | None = None,
+                     cube_resolution: int = 256,
+                     irradiance_resolution: int = 64,
+                     reflection_resolution: int = 256,
+                     lut_resolution: int = 256,
+                     lut_samples: int = 4096,
+                     reflection_samples: int = 2048,
+                     irradiance_delta: float = 0.025) -> Environment:
+    """Build the full environment bundle (EnvironmentComponent analog).
+
+    Sources in priority order: explicit `cube`, a Radiance panorama at
+    `panorama_path`, else the procedural sky."""
+    if cube is None:
+        if panorama_path and Path(panorama_path).exists():
+            panorama = image_io.load_hdr(panorama_path)
+            cube = np.asarray(panorama_to_cube(panorama, cube_resolution))
+        else:
+            cube = procedural_sky_cube(cube_resolution)
+    cube = jnp.asarray(cube, jnp.float32)
+    return Environment(
+        cube=cube,
+        irradiance=ibl.generate_irradiance_cube(
+            cube, irradiance_resolution, irradiance_delta),
+        reflection_mips=ibl.generate_reflection_mips(
+            cube, reflection_resolution, reflection_samples),
+        specular_lut=ibl.specular_brdf_lut(lut_resolution, lut_samples),
+    )

@@ -1,0 +1,238 @@
+"""Image-based lighting bakes: split-sum BRDF LUT, irradiance cubemap,
+prefiltered reflection mip chain.
+
+Parity targets (same math, same sample budgets, vectorized over texels):
+
+* SpecularLut.comp:27-68 — 256x256 RG16F split-sum scale/offset over
+  (NoV, roughness), 4096 Hammersley GGX samples.
+* Irradiance.comp:31-63 — per-texel hemisphere Riemann sum with
+  SAMPLE_DELTA=0.025, irradiance = PI * sum / count.
+* Reflection.comp:35-85 — per-mip GGX prefilter (N=V=R), 2048 samples,
+  solid-angle mip selection, luminance clamp MAX_LUMINANCE=25.
+
+The reference dispatches these as synchronous compute passes at scene load
+(ImageBasedLighting.cpp:90-410); here they are jitted array programs run
+once per environment.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from steeljax.core.colors import luminance
+from steeljax.core.constants import PI
+from steeljax.env.cubemap import face_directions, sample_cube
+from steeljax.render.pt.brdf import (importance_sample_ggx, specular_pdf,
+                                     vis_schlick)
+
+MAX_LUMINANCE = 25.0
+
+
+def _hammersley(count: int) -> np.ndarray:
+    """Radical-inverse point set (MonteCarlo.glsl:12-28), host-side."""
+    i = np.arange(count, dtype=np.uint32)
+    bits = i.copy()
+    bits = ((bits << 16) | (bits >> 16)) & 0xFFFFFFFF
+    bits = ((bits & 0x55555555) << 1) | ((bits & 0xAAAAAAAA) >> 1)
+    bits = ((bits & 0x33333333) << 2) | ((bits & 0xCCCCCCCC) >> 2)
+    bits = ((bits & 0x0F0F0F0F) << 4) | ((bits & 0xF0F0F0F0) >> 4)
+    bits = ((bits & 0x00FF00FF) << 8) | ((bits & 0xFF00FF00) >> 8)
+    e1 = np.mod(i.astype(np.float64) / count, 1.0)
+    e2 = bits.astype(np.float64) * 2.3283064365386963e-10
+    return np.stack([e1, e2], -1).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("resolution", "sample_count"))
+def specular_brdf_lut(resolution: int = 256,
+                      sample_count: int = 4096) -> jnp.ndarray:
+    """(R, R, 2) split-sum scale/offset table; u = NoV, v = roughness."""
+    texel = (jnp.arange(resolution, dtype=jnp.float32) + 0.5) / resolution
+    nov, rough = jnp.meshgrid(texel, texel, indexing="xy")
+    nov = nov.reshape(-1)          # u axis
+    rough = rough.reshape(-1)      # v axis (row index)
+    v = jnp.stack([jnp.sqrt(jnp.maximum(1.0 - nov * nov, 0.0)),
+                   jnp.zeros_like(nov), nov], axis=-1)
+    a = rough * rough
+    a2 = a * a
+
+    xi = jnp.asarray(_hammersley(sample_count))
+
+    def body(i, acc):
+        e = xi[i]
+        h = importance_sample_ggx(
+            jnp.broadcast_to(e, nov.shape + (2,)), a2)
+        l = 2.0 * jnp.sum(v * h, axis=-1, keepdims=True) * h - v
+        nol = jnp.maximum(l[..., 2], 0.0)
+        noh = jnp.maximum(h[..., 2], 0.0)
+        voh = jnp.maximum(jnp.sum(v * h, axis=-1), 0.0)
+        vis = vis_schlick(a, nov, nol)
+        vis_nol_pdf = jnp.where(
+            nol > 0.0,
+            vis * nol * (4.0 * voh / jnp.maximum(noh, 1e-8)), 0.0)
+        fc = (1.0 - voh) ** 5
+        scale = (1.0 - fc) * vis_nol_pdf
+        offset = fc * vis_nol_pdf
+        return acc[0] + scale, acc[1] + offset
+
+    scale, offset = jax.lax.fori_loop(
+        0, sample_count, body,
+        (jnp.zeros_like(nov), jnp.zeros_like(nov)))
+    lut = jnp.stack([scale, offset], axis=-1) / sample_count
+    return lut.reshape(resolution, resolution, 2)
+
+
+def sample_lut(lut: jnp.ndarray, nov: jnp.ndarray,
+               roughness: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear clamp-sample of the (R, R, 2) LUT at (NoV, roughness)."""
+    r = lut.shape[0]
+    x = jnp.clip(nov, 0.0, 1.0) * r - 0.5
+    y = jnp.clip(roughness, 0.0, 1.0) * r - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    def cl(i):
+        return jnp.clip(i.astype(jnp.int32), 0, r - 1)
+
+    c00 = lut[cl(y0), cl(x0)]
+    c10 = lut[cl(y0), cl(x0 + 1)]
+    c01 = lut[cl(y0 + 1), cl(x0)]
+    c11 = lut[cl(y0 + 1), cl(x0 + 1)]
+    return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+            + (c01 * (1 - fx) + c11 * fx) * fy)
+
+
+def _tangent_frames(n: jnp.ndarray):
+    """GetTBN(N) (Common.glsl:41-52) for (..., 3) normals."""
+    from steeljax.render.pt.brdf import make_tbn
+    return make_tbn(n)
+
+
+@functools.partial(jax.jit, static_argnames=("resolution",))
+def _irradiance_impl(env: jnp.ndarray, dirs: jnp.ndarray,
+                     tangent_dirs: jnp.ndarray,
+                     cos_sin: jnp.ndarray, resolution: int) -> jnp.ndarray:
+    t, b, n = _tangent_frames(dirs)        # (P, 3) each
+
+    def body(i, acc):
+        td = tangent_dirs[i]               # (3,)
+        world = td[0] * t + td[1] * b + td[2] * n
+        return acc + sample_cube(env, world) * cos_sin[i]
+
+    total = jax.lax.fori_loop(
+        0, tangent_dirs.shape[0], body,
+        jnp.zeros(dirs.shape[:-1] + (3,), jnp.float32))
+    irradiance = PI * total / tangent_dirs.shape[0]
+    return irradiance.reshape(6, resolution, resolution, 3)
+
+
+def generate_irradiance_cube(env: jnp.ndarray, resolution: int = 64,
+                             sample_delta: float = 0.025) -> jnp.ndarray:
+    """Diffuse irradiance cubemap (Irradiance.comp)."""
+    dirs = jnp.asarray(face_directions(resolution).reshape(-1, 3))
+    phi = np.arange(0.0, 2.0 * np.pi, sample_delta)
+    theta = np.arange(0.0, 0.5 * np.pi, sample_delta)
+    pp, tt = np.meshgrid(phi, theta, indexing="ij")
+    tangent = np.stack([np.sin(tt) * np.cos(pp), np.sin(tt) * np.sin(pp),
+                        np.cos(tt)], axis=-1).reshape(-1, 3)
+    cos_sin = (np.cos(tt) * np.sin(tt)).reshape(-1)
+    return _irradiance_impl(env, dirs, jnp.asarray(tangent, jnp.float32),
+                            jnp.asarray(cos_sin, jnp.float32), resolution)
+
+
+def downsample_cube(cube: jnp.ndarray) -> jnp.ndarray:
+    """2x2 box filter per face (the runtime mip generation the reference
+    does with blits, ImageHelpers GenerateMipLevels)."""
+    f, r, _, c = cube.shape
+    half = max(r // 2, 1)
+    if r == 1:
+        return cube
+    x = cube.reshape(f, half, 2, half, 2, c)
+    return x.mean(axis=(2, 4))
+
+
+def build_cube_mips(cube: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+    mips = [cube]
+    while mips[-1].shape[1] > 1:
+        mips.append(downsample_cube(mips[-1]))
+    return tuple(mips)
+
+
+def sample_cube_lod(mips: tuple[jnp.ndarray, ...], direction: jnp.ndarray,
+                    lod: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear cubemap lookup across a mip tuple (textureLod analog).
+
+    Evaluates every mip (static unroll) and blends with trilinear weights —
+    dense and branch-free, the TPU-friendly form of dynamic lod.
+    """
+    count = len(mips)
+    lod = jnp.clip(lod, 0.0, count - 1)
+    lo = jnp.floor(lod)
+    frac = (lod - lo)[..., None]
+    result = jnp.zeros(direction.shape[:-1] + (3,), jnp.float32)
+    for m, cube in enumerate(mips):
+        s = sample_cube(cube, direction)
+        w_lo = jnp.where(lo[..., None] == m, 1.0 - frac, 0.0)
+        w_hi = jnp.where(lo[..., None] == m - 1, frac, 0.0)
+        result = result + s * (w_lo + w_hi)
+    return result
+
+
+@functools.partial(jax.jit, static_argnames=("roughness", "resolution",
+                                              "sample_count"))
+def _reflection_mip(mips, dirs, xi, roughness: float, resolution: int,
+                    sample_count: int) -> jnp.ndarray:
+    t, b, n = _tangent_frames(dirs)
+    a = roughness * roughness
+    a2 = max(a * a, 1e-6)
+    sa_texel = 4.0 * PI / (6.0 * resolution * resolution)
+
+    def body(i, acc):
+        e = xi[i]
+        h_t = importance_sample_ggx(
+            jnp.broadcast_to(e, dirs.shape[:-1] + (2,)), a2)
+        h = h_t[..., 0:1] * t + h_t[..., 1:2] * b + h_t[..., 2:3] * n
+        voh = jnp.sum(dirs * h, axis=-1)
+        l = 2.0 * voh[..., None] * h - dirs
+        nol = jnp.maximum(jnp.sum(dirs * l, axis=-1), 0.0)
+        noh = jnp.maximum(jnp.sum(dirs * h, axis=-1), 0.0)
+        voh = jnp.maximum(voh, 0.0)
+        pdf = specular_pdf(noh, a2, voh)
+        sa_sample = 1.0 / (sample_count * pdf + 1e-6)
+        lod = jnp.where(roughness == 0.0, 0.0,
+                        0.5 * jnp.log2(sa_sample / sa_texel))
+        radiance = sample_cube_lod(mips, l, lod)
+        radiance = radiance / jnp.maximum(
+            luminance(radiance)[..., None] / MAX_LUMINANCE, 1.0)
+        weight = nol[..., None]
+        return acc[0] + radiance * weight, acc[1] + weight
+
+    total, weight = jax.lax.fori_loop(
+        0, sample_count, body,
+        (jnp.zeros(dirs.shape[:-1] + (3,), jnp.float32),
+         jnp.zeros(dirs.shape[:-1] + (1,), jnp.float32)))
+    out = total / jnp.maximum(weight, 1e-8)
+    return out.reshape(6, resolution, resolution, 3)
+
+
+def generate_reflection_mips(env: jnp.ndarray, resolution: int = 256,
+                             sample_count: int = 2048
+                             ) -> tuple[jnp.ndarray, ...]:
+    """Prefiltered specular reflection chain (Reflection.comp): mip m is
+    filtered at roughness = m / (mips - 1)."""
+    env_mips = build_cube_mips(env)
+    mip_count = int(np.log2(resolution)) + 1
+    xi = jnp.asarray(_hammersley(sample_count))
+    out = []
+    for m in range(mip_count):
+        res = max(resolution >> m, 1)
+        roughness = m / max(mip_count - 1, 1)
+        dirs = jnp.asarray(face_directions(res).reshape(-1, 3))
+        out.append(_reflection_mip(env_mips, dirs, xi, float(roughness),
+                                   res, sample_count))
+    return tuple(out)

@@ -1,0 +1,140 @@
+"""Forward stage: environment background + alpha-blend surfaces.
+
+Parity with ForwardStage (Stages/Private/ForwardStage.cpp): the
+environment cube draws first wherever the opaque depth is still at the
+clear value (reverse-z far, Environment.vert/frag force depth to the far
+plane), then alpha-blend materials composite with standard alpha blending,
+depth-tested against the opaque depth.  The reference draws blend geometry
+unsorted; steeljax shades the nearest blend surface per pixel (a strict
+improvement in blend order).  Blending happens on tone-mapped values,
+matching the reference's swapchain-space blend.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from steeljax.accel.dispatch import TraceTables, trace_nearest
+from steeljax.core.colors import to_linear, tone_map
+from steeljax.env.cubemap import sample_cube
+from steeljax.env.environment import Environment
+from steeljax.render.hybrid.lighting import (compute_direct_lighting,
+                                             compute_indirect_lighting)
+from steeljax.render.pt import brdf as brdf_lib
+from steeljax.render.pt.integrator import _interp, _normalize
+from steeljax.render.texture import sample_bilinear
+from steeljax.scene.flatten import FlatScene
+from steeljax.scene.material import MaterialFlags
+
+
+def _is_blend(scene: FlatScene, tri):
+    mat = scene.tri_mat[jnp.maximum(tri, 0)]
+    return (scene.mat_flags[mat] & int(MaterialFlags.ALPHA_BLEND)) != 0
+
+
+def trace_blend(scene: FlatScene, tables: TraceTables, o, d, t_min, t_max,
+                max_retrace: int = 4):
+    """Nearest alpha-blend-material hit within [t_min, t_max] (skipping any
+    non-blend surfaces in between — those are already in the G-buffer)."""
+    rec = trace_nearest(tables, scene.tri_pos, scene.tri_double_sided, o, d,
+                        t_min, t_max, cull_backface=True)
+    for _ in range(max_retrace):
+        rejected = rec["hit"] & ~_is_blend(scene, rec["tri"])
+        rec2 = trace_nearest(tables, scene.tri_pos, scene.tri_double_sided,
+                             o, d, rec["t"] + 1e-4, t_max,
+                             cull_backface=True)
+        rec = {k: jnp.where(rejected, rec2[k], rec[k]) for k in rec}
+    ok = rec["hit"] & _is_blend(scene, rec["tri"])
+    rec["hit"] = ok
+    rec["tri"] = jnp.where(ok, rec["tri"], -1)
+    return rec
+
+
+def shade_forward(scene: FlatScene, tables: TraceTables, env: Environment,
+                  rec, o, d, camera_position,
+                  ray_tracing_enabled: bool = True):
+    """Forward PBR for a blend hit (Forward.frag:25-66).  Returns
+    (linear color (N, 3), alpha (N,))."""
+    tri = jnp.maximum(rec["tri"], 0)
+    u, v_bar = rec["u"], rec["v"]
+    mat = scene.tri_mat[tri]
+    p = o + d * rec["t"][..., None]
+    uv = _interp(scene.tri_uv, tri, u, v_bar)
+
+    normal = _normalize(_interp(scene.tri_nrm, tri, u, v_bar))
+    tangent = _normalize(_interp(scene.tri_tan, tri, u, v_bar))
+    view = _normalize(camera_position - p)
+
+    ds_mat = (scene.mat_flags[mat] & int(MaterialFlags.DOUBLE_SIDED)) != 0
+    flip = ds_mat & (jnp.sum(normal * view, axis=-1) < 0.0)
+    normal = jnp.where(flip[..., None], -normal, normal)
+
+    n_idx = scene.mat_tex[mat, 2]
+    ns = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
+                         n_idx, uv)[..., :3] * 2.0 - 1.0
+    scale = scene.mat_params[mat, 2]
+    ns = _normalize(ns * jnp.stack([scale, scale, jnp.ones_like(scale)], -1))
+    tbn = brdf_lib.make_tbn_with_tangent(normal, tangent)
+    mapped = _normalize(brdf_lib.tangent_to_world(ns, tbn))
+    normal = jnp.where((n_idx >= 0)[..., None], mapped, normal)
+
+    def tex(slot):
+        idx = scene.mat_tex[mat, slot]
+        s = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
+                            idx, uv)
+        return s, idx >= 0
+
+    base_s, has_base = tex(0)
+    base_raw = scene.mat_base_color[mat, :3] * jnp.where(
+        has_base[..., None], base_s[..., :3], 1.0)
+    alpha = scene.mat_base_color[mat, 3] * jnp.where(has_base,
+                                                     base_s[..., 3], 1.0)
+    base_color = to_linear(base_raw)
+
+    rm_s, has_rm = tex(1)
+    roughness = scene.mat_params[mat, 0] * jnp.where(has_rm, rm_s[..., 1], 1.0)
+    metallic = scene.mat_params[mat, 1] * jnp.where(has_rm, rm_s[..., 2], 1.0)
+
+    occ_s, has_occ = tex(3)
+    occlusion = scene.mat_params[mat, 3] * jnp.where(has_occ,
+                                                     occ_s[..., 0], 1.0)
+
+    em_s, has_em = tex(4)
+    emission = to_linear(scene.mat_emission[mat] * jnp.where(
+        has_em[..., None], em_s[..., :3], 1.0))
+
+    f0 = 0.04 + (base_color - 0.04) * metallic[..., None]
+    nov = jnp.maximum(jnp.sum(normal * view, axis=-1), 0.0)
+
+    if scene.light_count > 0:
+        direct = compute_direct_lighting(
+            scene, tables, p, normal, view, nov, base_color, f0,
+            roughness, metallic, shadows=ray_tracing_enabled)
+    else:
+        direct = jnp.zeros_like(base_color)
+    indirect = compute_indirect_lighting(
+        env, p, normal, view, nov, base_color, f0, roughness, metallic,
+        occlusion)
+    return direct + indirect + emission, alpha
+
+
+def forward_stage(scene: FlatScene, tables: TraceTables, env: Environment,
+                  lit_linear, gbuffer, o, d, opaque_t, t_min,
+                  camera_position, ray_tracing_enabled: bool = True):
+    """Compose the final display image: tone-mapped opaque lighting, env
+    background, then the blend layer.  Returns (N, 3) display color."""
+    hit = gbuffer["hit"]
+    env_color = tone_map(sample_cube(env.cube, d))
+    display = jnp.where(hit[..., None], tone_map(lit_linear), env_color)
+
+    if not scene.any_alpha_blend:
+        return display
+
+    blend_tmax = jnp.where(hit, opaque_t, jnp.float32(1000.0))
+    rec = trace_blend(scene, tables, o, d, t_min, blend_tmax)
+    color, alpha = shade_forward(scene, tables, env, rec, o, d,
+                                 camera_position, ray_tracing_enabled)
+    src = tone_map(color)
+    a = jnp.clip(alpha, 0.0, 1.0)[..., None]
+    blended = src * a + display * (1.0 - a)
+    return jnp.where(rec["hit"][..., None], blended, display)

@@ -1,0 +1,113 @@
+"""HybridRenderer: G-buffer -> deferred lighting -> forward composite.
+
+The stage composition of Source/Engine/Render/Private/HybridRenderer.cpp:
+79-91 (GBufferStage -> LightingStage -> ForwardStage) as one jitted frame
+function.  Unlike the path tracer there is no accumulation: the hybrid
+frame is deterministic (the reference's real-time mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from steeljax.core import camera as camera_lib
+from steeljax.core.config import RenderConfig
+from steeljax.env.environment import Environment, load_environment
+from steeljax.render.hybrid.forward import forward_stage
+from steeljax.render.hybrid.gbuffer import generate_gbuffer
+from steeljax.render.hybrid.lighting import deferred_lighting
+from steeljax.render.pt.integrator import primary_rays
+from steeljax.render.pt.renderer import prepare_scene
+from steeljax.scene.scene import Scene
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "ray_tracing_enabled"))
+def render_hybrid_pixels(scene, tables, env: Environment,
+                         inverse_view, inverse_proj, view_proj,
+                         camera_near, camera_far, width: int, height: int,
+                         px, py, light_volume=None,
+                         ray_tracing_enabled: bool = True):
+    """One hybrid frame for the pixels (px, py); returns (N, 3) display
+    color in [0, 1] (tone-mapped)."""
+    xs = px.astype(jnp.float32)
+    ys = py.astype(jnp.float32)
+    # Pixel-center rays (the rasterizer's fragment positions) — no jitter.
+    u = (xs + 0.5) / width
+    v = (ys + 0.5) / height
+    xy = jnp.stack([u, v], axis=-1) * 2.0 - 1.0
+    target = jnp.einsum("ij,nj->ni", inverse_proj,
+                        jnp.concatenate([xy, jnp.ones_like(xy)], -1))
+    direction = target[..., :3] / jnp.linalg.norm(
+        target[..., :3], axis=-1, keepdims=True)
+    direction = jnp.einsum(
+        "ij,nj->ni", inverse_view,
+        jnp.concatenate([direction, jnp.zeros_like(direction[..., :1])],
+                        -1))[..., :3]
+    direction = direction / jnp.linalg.norm(direction, axis=-1,
+                                            keepdims=True)
+    origin = jnp.broadcast_to(inverse_view[:3, 3], direction.shape)
+    camera_position = inverse_view[:3, 3]
+
+    gbuffer = generate_gbuffer(scene, tables, origin, direction,
+                               camera_near, camera_far, view_proj,
+                               camera_position)
+
+    inverse_proj_view = jnp.einsum(
+        "ij,jk->ik", inverse_view, inverse_proj)
+    uv = jnp.stack([u, v], axis=-1)
+    lit = deferred_lighting(scene, tables, env, gbuffer, uv,
+                            inverse_proj_view, camera_position,
+                            light_volume=light_volume,
+                            ray_tracing_enabled=ray_tracing_enabled)
+
+    # Opaque hit distance for the blend-stage depth test, reconstructed
+    # from the stored depth exactly like the raster pipeline would z-test.
+    from steeljax.render.hybrid.lighting import restore_position
+    position = restore_position(gbuffer["depth"], uv, inverse_proj_view)
+    opaque_t = jnp.linalg.norm(position - origin, axis=-1)
+
+    return forward_stage(scene, tables, env, lit, gbuffer, origin,
+                         direction, opaque_t, camera_near,
+                         camera_position, ray_tracing_enabled)
+
+
+class HybridRenderer:
+    """Host-side driver mirroring HybridRenderer.cpp stage composition."""
+
+    def __init__(self, scene: Scene, width: int, height: int,
+                 config: RenderConfig = RenderConfig(),
+                 environment: Environment | None = None):
+        self.scene = scene
+        self.width = width
+        self.height = height
+        self.config = config
+        self.flat, self.tables = prepare_scene(scene)
+        self.env = environment or load_environment(
+            panorama_path=scene.environment_path)
+        self.light_volume = None
+        frame = camera_lib.make_frame(scene.camera_location,
+                                      scene.camera_projection,
+                                      reverse_depth=config.reverse_depth)
+        self.frame = frame
+
+    def render_frame(self) -> np.ndarray:
+        ys, xs = np.meshgrid(np.arange(self.height, dtype=np.int32),
+                             np.arange(self.width, dtype=np.int32),
+                             indexing="ij")
+        out = render_hybrid_pixels(
+            self.flat, self.tables, self.env,
+            jnp.asarray(self.frame.inverse_view),
+            jnp.asarray(self.frame.inverse_proj),
+            jnp.asarray(self.frame.view_proj),
+            self.frame.camera_near, self.frame.camera_far,
+            self.width, self.height,
+            jnp.asarray(xs.reshape(-1)), jnp.asarray(ys.reshape(-1)),
+            light_volume=self.light_volume,
+            ray_tracing_enabled=self.config.ray_tracing_enabled)
+        return np.asarray(out).reshape(self.height, self.width, 3)

@@ -55,6 +55,7 @@ class FlatScene:
     light_count: int = struct.field(pytree_node=False, default=0)
     env_enabled: bool = struct.field(pytree_node=False, default=False)
     any_alpha_test: bool = struct.field(pytree_node=False, default=False)
+    any_alpha_blend: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def triangle_count(self) -> int:
@@ -159,6 +160,8 @@ def flatten_scene(scene: Scene, env_cube: np.ndarray | None = None) -> FlatScene
     any_alpha_test = any(
         (f & MaterialFlags.ALPHA_TEST) and t[0] >= 0
         for f, t in zip(mat_flags, mat_tex))
+    any_alpha_blend = any(
+        bool(f & MaterialFlags.ALPHA_BLEND) for f in mat_flags)
 
     return FlatScene(
         tri_pos=jnp.asarray(tri_pos), tri_nrm=jnp.asarray(tri_nrm),
@@ -178,4 +181,5 @@ def flatten_scene(scene: Scene, env_cube: np.ndarray | None = None) -> FlatScene
         light_count=int(light_count),
         env_enabled=bool(env_enabled),
         any_alpha_test=bool(any_alpha_test),
+        any_alpha_blend=bool(any_alpha_blend),
     )
