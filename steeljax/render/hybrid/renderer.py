@@ -95,6 +95,15 @@ class HybridRenderer:
                                       scene.camera_projection,
                                       reverse_depth=config.reverse_depth)
         self.frame = frame
+        if config.global_illumination_enabled:
+            self.bake_light_volume()
+
+    def bake_light_volume(self, spp: int = 8, **kwargs) -> None:
+        """Run the light-volume GI bake (GlobalIllumination::
+        GenerateLightVolume) and enable LIGHT_VOLUME_ENABLED sampling."""
+        from steeljax.gi import generate_light_volume
+        self.light_volume = generate_light_volume(
+            self.flat, self.tables, spp=spp, **kwargs)
 
     def render_frame(self) -> np.ndarray:
         ys, xs = np.meshgrid(np.arange(self.height, dtype=np.int32),

@@ -300,39 +300,22 @@ def direct_lighting(scene: FlatScene, tables: TraceTables, surface, tbn,
 # The bounce loop (RayGen.rgen:322-412)
 # ---------------------------------------------------------------------------
 
-@functools.partial(
-    jax.jit, static_argnames=("width", "height", "config", "render_to_cube",
-                              "return_stats"))
-def render_pixels(scene: FlatScene, tables: TraceTables,
-                  inverse_view, inverse_proj,
-                  camera_near, camera_far, width: int, height: int,
-                  px, py, accumulation_index, sample_index,
-                  config: RenderConfig = RenderConfig(),
-                  render_to_cube: bool = False,
-                  return_stats: bool = False):
-    """One path-traced irradiance sample for each pixel in (px, py);
-    returns (N, 3) float32 linear (pre-tonemap, clamped).
+def trace_paths(scene: FlatScene, tables: TraceTables, o, d, seed,
+                t_min, t_max, config: RenderConfig):
+    """The bounce loop for a prepared ray batch (RayGen.rgen:344-407).
 
-    This is the sharding granule: px/py may be laid out across a device
-    mesh (pure data parallelism over pixels — the TPU analog of
-    traceRaysKHR(W, H), SURVEY.md §2.7)."""
-    count = px.shape[0]
-    total = jnp.zeros((count, 3), jnp.float32)
+    Returns (irradiance (N, 3) clamped, seed, rays_traced scalar).  Shared
+    by the frame renderer and the probe-capture path (ProbeRenderer)."""
+    count = o.shape[0]
     rays_traced = jnp.zeros((), jnp.float32)  # segments + shadow rays
 
-    for s in range(config.sample_count):
-        seed = rng.make_seed(px.astype(jnp.uint32), py.astype(jnp.uint32),
-                             jnp.uint32(s) + jnp.uint32(sample_index),
-                             jnp.asarray(accumulation_index, jnp.uint32))
-        o, d, seed = primary_rays(inverse_view, inverse_proj, width, height,
-                                  px, py, seed, render_to_cube)
-
+    if True:  # structured to mirror the per-sample body below
         irradiance = jnp.zeros((count, 3), jnp.float32)
         throughput = jnp.ones((count, 3), jnp.float32)
         ray_pdf = jnp.ones((count,), jnp.float32)
         alive = jnp.ones((count,), bool)
-        t_min = jnp.full((count,), camera_near, jnp.float32)
-        t_max = jnp.full((count,), camera_far, jnp.float32)
+        t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (count,))
+        t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (count,))
 
         for bounce in range(config.max_bounce_count):
             rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
@@ -400,7 +383,40 @@ def render_pixels(scene: FlatScene, tables: TraceTables,
             t_min = jnp.full_like(t_min, RAY_MIN_T)
             t_max = jnp.full_like(t_max, RAY_MAX_T)
 
-        total = total + jnp.minimum(irradiance, config.max_irradiance)
+    clamped = jnp.minimum(irradiance, config.max_irradiance)
+    return clamped, seed, rays_traced
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "config", "render_to_cube",
+                              "return_stats"))
+def render_pixels(scene: FlatScene, tables: TraceTables,
+                  inverse_view, inverse_proj,
+                  camera_near, camera_far, width: int, height: int,
+                  px, py, accumulation_index, sample_index,
+                  config: RenderConfig = RenderConfig(),
+                  render_to_cube: bool = False,
+                  return_stats: bool = False):
+    """One path-traced irradiance sample for each pixel in (px, py);
+    returns (N, 3) float32 linear (pre-tonemap, clamped).
+
+    This is the sharding granule: px/py may be laid out across a device
+    mesh (pure data parallelism over pixels — the TPU analog of
+    traceRaysKHR(W, H), SURVEY.md §2.7)."""
+    count = px.shape[0]
+    total = jnp.zeros((count, 3), jnp.float32)
+    rays_traced = jnp.zeros((), jnp.float32)
+
+    for s in range(config.sample_count):
+        seed = rng.make_seed(px.astype(jnp.uint32), py.astype(jnp.uint32),
+                             jnp.uint32(s) + jnp.uint32(sample_index),
+                             jnp.asarray(accumulation_index, jnp.uint32))
+        o, d, seed = primary_rays(inverse_view, inverse_proj, width, height,
+                                  px, py, seed, render_to_cube)
+        sample, seed, rays = trace_paths(
+            scene, tables, o, d, seed, camera_near, camera_far, config)
+        total = total + sample
+        rays_traced = rays_traced + rays
 
     result = total / config.sample_count
     if return_stats:
