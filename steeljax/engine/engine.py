@@ -1,0 +1,115 @@
+"""Engine: headless orchestrator (Engine::Create/Run/Destroy analog).
+
+The reference's main loop (Private/Engine.cpp:68-99) polls the window,
+ticks systems, and draws through the frame loop; steeljax's loop advances a
+virtual clock, processes injected events + systems, re-flattens the scene
+when its revision advanced (the every-frame TLAS rebuild, done on demand),
+and renders frames to arrays.  Keyboard semantics carried over: `T`
+toggles render mode, `R` clears jit caches (the shader hot-reload analog).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Callable
+
+import numpy as np
+
+from steeljax.core.config import RenderConfig
+from steeljax.engine.events import EventBus, EventType, KeyInput
+from steeljax.engine.systems import System
+from steeljax.render.scene_renderer import SceneRenderer
+from steeljax.scene.scene import Scene
+
+
+class Engine:
+    def __init__(self, scene: Scene | str | Path,
+                 width: int | None = None, height: int | None = None,
+                 config: RenderConfig = RenderConfig(), environment=None):
+        if not isinstance(scene, Scene):
+            from steeljax.scene import load_scene
+            scene = load_scene(scene)
+        self.scene = scene
+        self.config = config
+        self.width = width or config.width
+        self.height = height or config.height
+
+        self.bus = EventBus()
+        self.systems: list[System] = []
+        self.renderer = SceneRenderer(scene, self.width, self.height, config,
+                                      environment=environment)
+        self._scene_revision = scene.revision
+        self.global_time = 0.0
+        self.frame_index = 0
+
+        self.bus.add_handler(EventType.CAMERA_UPDATE,
+                             lambda _: self.renderer.update_camera())
+        self.bus.add_handler(EventType.KEY_INPUT, self._on_key)
+
+    # ---- input ----------------------------------------------------------
+
+    def _on_key(self, event: KeyInput) -> None:
+        if event.action != "press":
+            return
+        if event.key == "t":
+            self.renderer.toggle_render_mode()
+        elif event.key == "r":
+            # Shader hot-reload analog: drop compiled executables so the
+            # next frame re-traces current Python code
+            # (HybridRenderer.cpp:117-129).
+            import jax
+            jax.clear_caches()
+
+    def inject_key(self, key: str, action: str = "press") -> None:
+        self.bus.trigger(EventType.KEY_INPUT, KeyInput(key, action))
+
+    def inject_mouse_move(self, x: float, y: float) -> None:
+        self.bus.trigger(EventType.MOUSE_MOVE, (x, y))
+
+    # ---- systems --------------------------------------------------------
+
+    def add_system(self, system: System) -> None:
+        self.systems.append(system)
+
+    # ---- loop -----------------------------------------------------------
+
+    def tick(self, delta_seconds: float) -> np.ndarray:
+        """One iteration of Engine::Run's loop body; returns the frame."""
+        self.global_time += delta_seconds
+        for system in self.systems:
+            system.process(self.scene, delta_seconds)
+        if self.scene.revision != self._scene_revision:
+            self.renderer.refresh_scene()
+            self._scene_revision = self.scene.revision
+        frame = self.renderer.render_frame()
+        self.frame_index += 1
+        return frame
+
+    def run(self, duration_seconds: float, fps: float = 30.0,
+            on_frame: Callable[[int, np.ndarray], None] | None = None
+            ) -> np.ndarray:
+        """Run the loop on a virtual clock; returns the last frame."""
+        dt = 1.0 / fps
+        steps = max(1, int(round(duration_seconds * fps)))
+        frame = None
+        for _ in range(steps):
+            frame = self.tick(dt)
+            if on_frame is not None:
+                on_frame(self.frame_index, frame)
+        return frame
+
+    def run_realtime(self, duration_seconds: float,
+                     on_frame=None) -> np.ndarray:
+        """Wall-clock loop (frame time = actual elapsed), for interactive
+        hosts feeding events concurrently."""
+        start = time.time()
+        last = start
+        frame = None
+        while time.time() - start < duration_seconds:
+            now = time.time()
+            frame = self.tick(now - last)
+            last = now
+            if on_frame is not None:
+                on_frame(self.frame_index, frame)
+        return frame

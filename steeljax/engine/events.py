@@ -1,0 +1,53 @@
+"""Typed event bus (Engine::TriggerEvent / AddEventHandler,
+Source/Engine/Engine.hpp:18-30, 74-82).
+
+The reference keys handlers on an EventType enum and casts std::any
+payloads; here handlers subscribe per EventType and receive the payload
+object directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from collections import defaultdict
+from typing import Any, Callable
+
+
+class EventType(enum.Enum):
+    """EngineHelpers.hpp EventType."""
+    RESIZE = "resize"
+    KEY_INPUT = "key_input"
+    MOUSE_INPUT = "mouse_input"
+    MOUSE_MOVE = "mouse_move"
+    CAMERA_UPDATE = "camera_update"
+    SCENE_OPEN = "scene_open"
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyInput:
+    """EngineHelpers.hpp KeyInput: key name + action + modifiers."""
+    key: str
+    action: str = "press"  # press | release | repeat
+    mods: frozenset = frozenset()
+
+
+@dataclasses.dataclass(frozen=True)
+class MouseInput:
+    button: str
+    action: str = "press"
+    mods: frozenset = frozenset()
+
+
+class EventBus:
+    def __init__(self) -> None:
+        self._handlers: dict[EventType, list[Callable[[Any], None]]] = (
+            defaultdict(list))
+
+    def add_handler(self, event_type: EventType,
+                    handler: Callable[[Any], None]) -> None:
+        self._handlers[event_type].append(handler)
+
+    def trigger(self, event_type: EventType, payload: Any = None) -> None:
+        for handler in list(self._handlers[event_type]):
+            handler(payload)

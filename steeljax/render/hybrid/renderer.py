@@ -82,12 +82,12 @@ class HybridRenderer:
 
     def __init__(self, scene: Scene, width: int, height: int,
                  config: RenderConfig = RenderConfig(),
-                 environment: Environment | None = None):
+                 environment: Environment | None = None, prepared=None):
         self.scene = scene
         self.width = width
         self.height = height
         self.config = config
-        self.flat, self.tables = prepare_scene(scene)
+        self.flat, self.tables = prepared or prepare_scene(scene)
         self.env = environment or load_environment(
             panorama_path=scene.environment_path)
         self.light_volume = None
@@ -97,6 +97,13 @@ class HybridRenderer:
         self.frame = frame
         if config.global_illumination_enabled:
             self.bake_light_volume()
+
+    def refresh_scene(self, prepared=None) -> None:
+        from steeljax.render.pt.renderer import prepare_scene as prep
+        self.flat, self.tables = prepared or prep(self.scene)
+        self.frame = camera_lib.make_frame(
+            self.scene.camera_location, self.scene.camera_projection,
+            reverse_depth=self.config.reverse_depth)
 
     def bake_light_volume(self, spp: int = 8, **kwargs) -> None:
         """Run the light-volume GI bake (GlobalIllumination::

@@ -96,14 +96,20 @@ class PathTracingRenderer:
     """Host-side driver: owns device scene arrays and accumulation state."""
 
     def __init__(self, scene: Scene, width: int, height: int,
-                 config: RenderConfig = RenderConfig()):
+                 config: RenderConfig = RenderConfig(), prepared=None):
         self.scene = scene
         self.width = width
         self.height = height
         self.config = config
-        self.flat, self.tables = prepare_scene(scene)
+        self.flat, self.tables = prepared or prepare_scene(scene)
         self.state = init_accumulation(width, height)
         self._set_camera_arrays()
+
+    def refresh_scene(self, prepared=None) -> None:
+        """Re-flatten after scene mutation (the per-frame TLAS rebuild of
+        SceneRenderer.cpp:179-218, done on demand) and reset accumulation."""
+        self.flat, self.tables = prepared or prepare_scene(self.scene)
+        self.reset_accumulation()
 
     def _set_camera_arrays(self) -> None:
         projection = dataclasses.replace(

@@ -39,34 +39,14 @@ class SceneRenderer:
                              if config.path_tracing_enabled
                              else RenderMode.HYBRID)
 
-        flat, tables = prepare_scene(scene)
+        prepared = prepare_scene(scene)
         env = environment or load_environment(
             panorama_path=scene.environment_path)
-
-        self.path_tracer = PathTracingRenderer.__new__(PathTracingRenderer)
-        self.path_tracer.scene = scene
-        self.path_tracer.width = width
-        self.path_tracer.height = height
-        self.path_tracer.config = config
-        self.path_tracer.flat = flat
-        self.path_tracer.tables = tables
-        from steeljax.render.pt.renderer import init_accumulation
-        self.path_tracer.state = init_accumulation(width, height)
-        self.path_tracer._set_camera_arrays()
-
-        self.hybrid = HybridRenderer.__new__(HybridRenderer)
-        self.hybrid.scene = scene
-        self.hybrid.width = width
-        self.hybrid.height = height
-        self.hybrid.config = config
-        self.hybrid.flat = flat
-        self.hybrid.tables = tables
-        self.hybrid.env = env
-        self.hybrid.light_volume = None
-        import steeljax.core.camera as camera_lib
-        self.hybrid.frame = camera_lib.make_frame(
-            scene.camera_location, scene.camera_projection,
-            reverse_depth=config.reverse_depth)
+        self.path_tracer = PathTracingRenderer(
+            scene, width, height, config, prepared=prepared)
+        self.hybrid = HybridRenderer(
+            scene, width, height, config, environment=env,
+            prepared=prepared)
 
     def toggle_render_mode(self) -> RenderMode:
         """The `T` key (SceneRenderer.cpp:375-388): flips mode and resets
@@ -77,6 +57,20 @@ class SceneRenderer:
             self.mode = RenderMode.PATH_TRACING
             self.path_tracer.reset_accumulation()
         return self.mode
+
+    def refresh_scene(self) -> None:
+        """Rebuild device arrays after scene mutation (the on-demand analog
+        of the reference's every-frame TLAS rebuild + dirty-storage
+        descriptor refresh, SceneRenderer.cpp:318-358)."""
+        prepared = prepare_scene(self.scene)
+        self.path_tracer.refresh_scene(prepared)
+        self.hybrid.refresh_scene(prepared)
+
+    def update_camera(self) -> None:
+        """eCameraUpdate handler: refresh matrices, reset accumulation."""
+        self.path_tracer._set_camera_arrays()
+        self.path_tracer.reset_accumulation()
+        self.hybrid.refresh_scene((self.hybrid.flat, self.hybrid.tables))
 
     def render_frame(self) -> np.ndarray:
         if self.mode is RenderMode.PATH_TRACING:

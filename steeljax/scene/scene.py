@@ -51,6 +51,7 @@ class Entity:
     # Entities belonging to a prefab definition are storage-only: they are
     # cloned per instance but never rendered themselves (Scene.cpp:269-293).
     prefab_definition: str | None = None
+    alive: bool = True
 
 
 @dataclasses.dataclass
@@ -79,12 +80,30 @@ class Scene:
         self.camera_projection = camera_lib.DEFAULT_PROJECTION
         self.environment_path: str | None = None
         self.prefabs: dict[str, PrefabInfo] = {}
+        # Mutation counter: renderers re-flatten when this advances (the
+        # on-demand analog of the reference's every-frame TLAS rebuild).
+        self.revision: int = 0
 
     # ---- entities --------------------------------------------------------
 
     def add_entity(self, entity: Entity) -> int:
         self.entities.append(entity)
+        self.revision += 1
         return len(self.entities) - 1
+
+    def remove_entity(self, index: int) -> None:
+        """Tombstone the entity and its descendants (Scene::RemoveEntity)."""
+        doomed = {index}
+        changed = True
+        while changed:
+            changed = False
+            for i, e in enumerate(self.entities):
+                if e.alive and e.parent in doomed and i not in doomed:
+                    doomed.add(i)
+                    changed = True
+        for i in doomed:
+            self.entities[i].alive = False
+        self.revision += 1
 
     def find_entity(self, name: str) -> int:
         for i, e in enumerate(self.entities):
@@ -132,6 +151,7 @@ class Scene:
                 roots.append(ent_off + i)
             self.entities.append(clone)
 
+        self.revision += 1
         self.prefabs[name] = PrefabInfo(
             textures=StorageRange(tex_off, len(sub.textures)),
             materials=StorageRange(mat_off, len(sub.materials)),
@@ -174,6 +194,7 @@ class Scene:
         """Remove the prefab's storages + definition entities, fixing up all
         other indices (Scene.cpp:311-336)."""
         info = self.prefabs.pop(name)
+        self.revision += 1
 
         def shift(value: int, rng: StorageRange) -> int:
             if value >= rng.offset + rng.size:
@@ -233,7 +254,8 @@ class Scene:
         point location = translation with w=1."""
         locations, colors = [], []
         for i, e in enumerate(self.entities):
-            if e.light is None or e.prefab_definition is not None:
+            if e.light is None or e.prefab_definition is not None \
+                    or not e.alive:
                 continue
             world = self.world_transform(i)
             if e.light.type is LightType.DIRECTIONAL:
@@ -249,4 +271,5 @@ class Scene:
 
     def renderable_entities(self) -> list[int]:
         return [i for i, e in enumerate(self.entities)
-                if e.render_objects and e.prefab_definition is None]
+                if e.render_objects and e.prefab_definition is None
+                and e.alive]
