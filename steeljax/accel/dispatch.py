@@ -25,7 +25,6 @@ from steeljax.accel.bvh import BVH
 @struct.dataclass
 class TraceTables:
     bvh: BVH
-    nodes_packed: jnp.ndarray   # (N, 8) f32
     tris_packed: jnp.ndarray    # (T, 16) f32 (MT layout)
     use_pallas: bool = struct.field(pytree_node=False, default=False)
 
@@ -43,7 +42,6 @@ def make_trace_tables(bvh: BVH, tri_pos, tri_double_sided,
         use_pallas = backend_is_tpu()
     return TraceTables(
         bvh=bvh,
-        nodes_packed=jnp.asarray(ptv.pack_nodes(bvh)),
         tris_packed=jnp.asarray(
             ptv.pack_tris(np.asarray(tri_pos),
                           np.asarray(tri_double_sided))),
@@ -55,7 +53,7 @@ def trace_nearest(tables: TraceTables, tri_pos, tri_double_sided, o, d,
                   t_min, t_max, cull_backface: bool = True):
     if tables.use_pallas:
         return ptv.trace_nearest_packet(
-            tables.bvh, tables.nodes_packed, tables.tris_packed, o, d,
+            tables.bvh, tables.tris_packed, o, d,
             t_min, t_max, cull_backface=cull_backface)
     return traverse.trace_nearest(
         tables.bvh, tri_pos, tri_double_sided, o, d, t_min, t_max,
@@ -66,7 +64,7 @@ def trace_any(tables: TraceTables, tri_pos, tri_double_sided, o, d,
               t_min, t_max):
     if tables.use_pallas:
         rec = ptv.trace_nearest_packet(
-            tables.bvh, tables.nodes_packed, tables.tris_packed, o, d,
+            tables.bvh, tables.tris_packed, o, d,
             t_min, t_max, cull_backface=False, any_hit=True)
         return rec["hit"]
     return traverse.trace_any(

@@ -6,8 +6,10 @@ used for shadows (RayGen.rgen:127-178, Lighting.glsl:37-87).  Alpha-test
 (any-hit shader) semantics are handled by the caller re-tracing past
 rejected hits — see steeljax.render.pt.integrator.
 
-All entry points take a batch of rays (N, 3) and vectorize via vmap; the
-stack-based while_loop lowers to a lockstep batched loop under XLA.
+Operates on the explicit-node BVH format (steeljax.accel.bvh).  All entry
+points take a batch of rays (N, 3) and vectorize via vmap; the stack-based
+while_loop lowers to a lockstep batched loop under XLA (the CPU/test
+backend — the TPU path is steeljax.accel.pallas_traverse).
 """
 
 from __future__ import annotations
@@ -21,10 +23,6 @@ from steeljax.accel.bvh import BVH
 from steeljax.accel.intersect import intersect
 
 _INF = jnp.float32(3.0e38)
-
-
-class HitRecord(dict):
-    pass
 
 
 def _pack_tris(tri_pos):
@@ -66,14 +64,11 @@ def trace_nearest_brute(tri_pos, tri_double_sided, origins, directions,
             k = jnp.argmin(t)
             better = t[k] < best_t
             return (jnp.where(better, t[k], best_t),
-                    jnp.where(better, base + k, best_i),
+                    jnp.where(better, (base + k).astype(jnp.int32), best_i),
                     jnp.where(better, u[k], best_u),
                     jnp.where(better, v[k], best_v))
 
-        init = (jnp.asarray(t_max, jnp.float32) if jnp.ndim(t_max) == 0
-                else tmax, jnp.int32(-1), jnp.float32(0), jnp.float32(0))
-        init = (jnp.float32(tmax), jnp.int32(-1), jnp.float32(0),
-                jnp.float32(0))
+        init = (tmax, jnp.int32(-1), jnp.float32(0), jnp.float32(0))
         best_t, best_i, best_u, best_v = jax.lax.fori_loop(
             0, padded // chunk, body, init)
         return best_t, best_i, best_u, best_v
@@ -87,12 +82,12 @@ def trace_nearest_brute(tri_pos, tri_double_sided, origins, directions,
 
 
 # ---------------------------------------------------------------------------
-# BVH traversal
+# BVH traversal (explicit-node format)
 # ---------------------------------------------------------------------------
 
-def _slab(node_min, node_max, o, inv_d, t_min, t_far):
-    t0 = (node_min - o) * inv_d
-    t1 = (node_max - o) * inv_d
+def _slab(node_row, o, inv_d, t_min, t_far):
+    t0 = (node_row[0:3] - o) * inv_d
+    t1 = (node_row[3:6] - o) * inv_d
     near = jnp.max(jnp.minimum(t0, t1))
     far = jnp.min(jnp.maximum(t0, t1))
     hit = (near <= far) & (far >= t_min) & (near <= t_far)
@@ -110,40 +105,38 @@ def trace_nearest(bvh: BVH, tri_pos, tri_double_sided, origins, directions,
     index, -1 on miss), u, v barycentrics, hit mask.
     """
     v0, e1, e2 = _pack_tris(tri_pos)
-    leaf = bvh.leaf_size
-    first_leaf = bvh.first_leaf
+    max_leaf = bvh.max_leaf
     stack_size = bvh.depth + 2
-    node_min = bvh.node_min
-    node_max = bvh.node_max
+    nodes = bvh.nodes
+    n_nodes = nodes.shape[0]
+    n_tris = tri_pos.shape[0]
+    lane = jnp.arange(max_leaf)
 
     def per_ray(o, d, tmin, tmax):
         safe_d = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
         inv_d = 1.0 / safe_d
 
         stack = jnp.zeros((stack_size,), jnp.int32)
-        # stack[0] = root(0); sp = 1
         state = (jnp.int32(1), stack, tmax, jnp.int32(-1),
                  jnp.float32(0), jnp.float32(0))
 
         def cond(state):
-            sp = state[0]
-            return sp > 0
+            return state[0] > 0
 
         def body(state):
             sp, stack, best_t, best_i, best_u, best_v = state
             sp = sp - 1
             node = stack[sp]
-            is_leaf = node >= first_leaf
+            row = nodes[node]
+            meta0 = row[6].astype(jnp.int32)
+            cnt = row[7].astype(jnp.int32)
+            is_leaf = cnt > 0
 
             # Internal: test both children, push far-then-near.
-            left = 2 * node + 1
-            right = left + 1
-            l_idx = jnp.minimum(left, node_min.shape[0] - 1)
-            r_idx = jnp.minimum(right, node_min.shape[0] - 1)
-            hit_l, near_l = _slab(node_min[l_idx], node_max[l_idx],
-                                  o, inv_d, tmin, best_t)
-            hit_r, near_r = _slab(node_min[r_idx], node_max[r_idx],
-                                  o, inv_d, tmin, best_t)
+            left = jnp.clip(meta0, 0, n_nodes - 1)
+            right = jnp.clip(meta0 + 1, 0, n_nodes - 1)
+            hit_l, near_l = _slab(nodes[left], o, inv_d, tmin, best_t)
+            hit_r, near_r = _slab(nodes[right], o, inv_d, tmin, best_t)
             swap = near_r < near_l
             first = jnp.where(swap, right, left)
             second = jnp.where(swap, left, right)
@@ -151,23 +144,25 @@ def trace_nearest(bvh: BVH, tri_pos, tri_double_sided, origins, directions,
             hit_second = jnp.where(swap, hit_l, hit_r)
 
             push_second = (~is_leaf) & hit_second
-            stack2 = stack.at[sp].set(jnp.where(push_second, second, stack[sp]))
+            stack2 = stack.at[sp].set(jnp.where(push_second, second,
+                                                stack[sp]))
             sp2 = sp + push_second.astype(jnp.int32)
             push_first = (~is_leaf) & hit_first
             stack2 = stack2.at[sp2].set(
                 jnp.where(push_first, first, stack2[sp2]))
             sp2 = sp2 + push_first.astype(jnp.int32)
 
-            # Leaf: contiguous triangle chunk test.
-            leaf_id = jnp.maximum(node - first_leaf, 0)
-            base = leaf_id * leaf
-            cv0 = jax.lax.dynamic_slice(v0, (base, 0), (leaf, 3))
-            ce1 = jax.lax.dynamic_slice(e1, (base, 0), (leaf, 3))
-            ce2 = jax.lax.dynamic_slice(e2, (base, 0), (leaf, 3))
-            cds = jax.lax.dynamic_slice(tri_double_sided, (base,), (leaf,))
+            # Leaf: contiguous triangle chunk test with count mask.
+            base = jnp.clip(meta0, 0, max(n_tris - max_leaf, 0))
+            cv0 = jax.lax.dynamic_slice(v0, (base, 0), (max_leaf, 3))
+            ce1 = jax.lax.dynamic_slice(e1, (base, 0), (max_leaf, 3))
+            ce2 = jax.lax.dynamic_slice(e2, (base, 0), (max_leaf, 3))
+            cds = jax.lax.dynamic_slice(tri_double_sided, (base,),
+                                        (max_leaf,))
             t, u, v, hit = intersect(o, d, cv0, ce1, ce2, cds,
                                      tmin, best_t, cull_backface)
-            t = jnp.where(hit & is_leaf, t, _INF)
+            hit = hit & is_leaf & (lane < cnt)
+            t = jnp.where(hit, t, _INF)
             k = jnp.argmin(t)
             better = t[k] < best_t
             best_t = jnp.where(better, t[k], best_t)

@@ -53,7 +53,7 @@ def accumulate(state: AccumulationState,
 def prepare_scene(scene: Scene, env_resolution: int = 256,
                   use_default_environment: bool = True,
                   use_pallas: bool | None = None,
-                  leaf_size: int = 64) -> tuple[FlatScene, TraceTables]:
+                  leaf_size: int = 32) -> tuple[FlatScene, TraceTables]:
     """Flatten + build acceleration structure + environment cubemap.
 
     Scenes without a loadable panorama get the procedural sky when
