@@ -92,6 +92,8 @@ def _alpha_at(scene: FlatScene, tri, u, v):
     """Base-color alpha at a hit (AnyHit.rahit:35-52)."""
     mat = scene.tri_mat[jnp.maximum(tri, 0)]
     alpha = scene.mat_base_color[mat, 3]
+    if not scene.has_textures:
+        return alpha
     tex = scene.mat_tex[mat, 0]
     uv = _interp(scene.tri_uv, tri, u, v)
     sampled = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
@@ -106,10 +108,31 @@ def _is_alpha_test(scene: FlatScene, tri):
 
 def trace_material_ray(scene: FlatScene, tables: TraceTables, o, d,
                        t_min, t_max,
-                       cull_backface: bool, max_alpha_retrace: int):
+                       cull_backface: bool, max_alpha_retrace: int,
+                       sort_rays: bool = False):
     """Nearest hit honoring any-hit alpha testing: re-trace past rejected
     hits up to `max_alpha_retrace` times (the reference's unbounded any-hit
-    loop is bounded here for static control flow)."""
+    loop is bounded here for static control flow).
+
+    sort_rays=True reorders rays by direction octant before tracing (and
+    scatters results back): secondary bounce rays are direction-incoherent,
+    and octant grouping keeps traversal packets tight — the TPU analog of
+    wavefront ray reordering (SURVEY.md §7, megakernel-vs-wavefront)."""
+    if sort_rays:
+        key = ((d[:, 0] < 0).astype(jnp.int32) * 4
+               + (d[:, 1] < 0).astype(jnp.int32) * 2
+               + (d[:, 2] < 0).astype(jnp.int32))
+        order = jnp.argsort(key, stable=True)
+        inverse = jnp.argsort(order, stable=True)
+        rec = trace_material_ray(
+            scene, tables, o[order], d[order],
+            jnp.broadcast_to(jnp.asarray(t_min, jnp.float32),
+                             (o.shape[0],))[order],
+            jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                             (o.shape[0],))[order],
+            cull_backface, max_alpha_retrace, sort_rays=False)
+        return {k: v[inverse] for k, v in rec.items()}
+
     rec = trace_nearest(tables, scene.tri_pos, scene.tri_double_sided, o, d,
                         t_min, t_max, cull_backface=cull_backface)
     if not scene.any_alpha_test:
@@ -155,23 +178,37 @@ def trace_visibility(scene: FlatScene, tables: TraceTables, o, d,
 
 def unpack_material(scene: FlatScene, rec, ray_d):
     """ClosestHit attribute interpolation + UnpackMaterial
-    (RayGen.rgen:72-115).  Returns (surface dict, tbn)."""
+    (RayGen.rgen:72-115).  Returns (surface dict, tbn).
+
+    All per-triangle attributes come from one packed row read
+    (FlatScene.tri_shade) and material constants from another
+    (mat_packed) — one gather each instead of eight."""
     tri = jnp.maximum(rec["tri"], 0)
     u, v = rec["u"], rec["v"]
     mat = scene.tri_mat[tri]
 
-    normal = _normalize(_interp(scene.tri_nrm, tri, u, v))
-    tangent = _normalize(_interp(scene.tri_tan, tri, u, v))
-    uv = _interp(scene.tri_uv, tri, u, v)
+    shade = scene.tri_shade[tri]                     # (N, 28)
+    w = (1.0 - u - v)[..., None]
+    uw = u[..., None]
+    vw = v[..., None]
+    normal = _normalize(shade[:, 0:3] * w + shade[:, 3:6] * uw
+                        + shade[:, 6:9] * vw)
+    tangent = _normalize(shade[:, 9:12] * w + shade[:, 12:15] * uw
+                         + shade[:, 15:18] * vw)
+    uv = shade[:, 18:20] * w + shade[:, 20:22] * uw + shade[:, 22:24] * vw
 
     # Backface flip (ClosestHit.rchit:67-70): hit-kind is winding-based,
     # i.e. the Moller-Trumbore determinant sign.
-    tp = scene.tri_pos[tri]
-    geom_n = jnp.cross(tp[:, 1] - tp[:, 0], tp[:, 2] - tp[:, 0])
+    geom_n = shade[:, 24:27]
     backface = jnp.sum(geom_n * ray_d, axis=-1) > 0.0
     normal = jnp.where(backface[..., None], -normal, normal)
 
+    mrow = scene.mat_packed[mat]                     # (N, 16)
+
     def tex_rgb(slot, uv):
+        if not scene.has_textures:
+            idx = scene.mat_tex[mat, slot]
+            return jnp.ones(uv.shape[:-1] + (3,), jnp.float32), idx
         idx = scene.mat_tex[mat, slot]
         sample = sample_bilinear(scene.atlas, scene.tex_offset,
                                  scene.tex_size, idx, uv)
@@ -179,34 +216,39 @@ def unpack_material(scene: FlatScene, rec, ray_d):
 
     # Normal mapping (RayGen.rgen:74-82): both frames are computed and the
     # per-lane choice is a select (lockstep SIMD, like the GPU's divergent
-    # branch).
+    # branch).  Skipped statically for untextured scenes.
     tbn = brdf_lib.make_tbn(normal)
-    n_idx = scene.mat_tex[mat, 2]
-    has_nm = n_idx >= 0
-    ns = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
-                         n_idx, uv)[..., :3] * 2.0 - 1.0
-    scale = scene.mat_params[mat, 2]
-    ns = _normalize(ns * jnp.stack(
-        [scale, scale, jnp.ones_like(scale)], axis=-1))
-    tbn_t = brdf_lib.make_tbn_with_tangent(normal, tangent)
-    perturbed = _normalize(brdf_lib.tangent_to_world(ns, tbn_t))
-    tbn_nm = brdf_lib.make_tbn(perturbed)
-    tbn = tuple(
-        jnp.where(has_nm[..., None], a, b) for a, b in zip(tbn_nm, tbn))
+    if scene.has_textures:
+        n_idx = scene.mat_tex[mat, 2]
+        has_nm = n_idx >= 0
+        ns = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
+                             n_idx, uv)[..., :3] * 2.0 - 1.0
+        scale = mrow[:, 9]
+        ns = _normalize(ns * jnp.stack(
+            [scale, scale, jnp.ones_like(scale)], axis=-1))
+        tbn_t = brdf_lib.make_tbn_with_tangent(normal, tangent)
+        perturbed = _normalize(brdf_lib.tangent_to_world(ns, tbn_t))
+        tbn_nm = brdf_lib.make_tbn(perturbed)
+        tbn = tuple(
+            jnp.where(has_nm[..., None], a, b) for a, b in zip(tbn_nm, tbn))
 
     base_rgb, b_idx = tex_rgb(0, uv)
-    base_color = to_linear(scene.mat_base_color[mat, :3] * base_rgb)
+    base_color = to_linear(mrow[:, 0:3] * base_rgb)
 
-    rm_idx = scene.mat_tex[mat, 1]
-    rm = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
-                         rm_idx, uv)
-    rough_tex = jnp.where(rm_idx >= 0, rm[..., 1], 1.0)
-    metal_tex = jnp.where(rm_idx >= 0, rm[..., 2], 1.0)
-    roughness = scene.mat_params[mat, 0] * rough_tex
-    metallic = scene.mat_params[mat, 1] * metal_tex
+    if scene.has_textures:
+        rm_idx = scene.mat_tex[mat, 1]
+        rm = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
+                             rm_idx, uv)
+        rough_tex = jnp.where(rm_idx >= 0, rm[..., 1], 1.0)
+        metal_tex = jnp.where(rm_idx >= 0, rm[..., 2], 1.0)
+        roughness = mrow[:, 7] * rough_tex
+        metallic = mrow[:, 8] * metal_tex
+    else:
+        roughness = mrow[:, 7]
+        metallic = mrow[:, 8]
 
     em_rgb, _ = tex_rgb(4, uv)
-    emission = to_linear(scene.mat_emission[mat] * em_rgb)
+    emission = to_linear(mrow[:, 4:7] * em_rgb)
 
     surface = brdf_lib.make_surface(base_color, roughness, metallic, emission)
     return surface, tbn
@@ -316,6 +358,11 @@ def trace_paths(scene: FlatScene, tables: TraceTables, o, d, seed,
         alive = jnp.ones((count,), bool)
         t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (count,))
         t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (count,))
+        # Deferred environment lookup: a lane misses at most once (it dies
+        # at the miss), so one cubemap sample at the end replaces one per
+        # bounce.
+        env_weight = jnp.zeros((count, 3), jnp.float32)
+        env_dir = d
 
         for bounce in range(config.max_bounce_count):
             rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
@@ -326,11 +373,10 @@ def trace_paths(scene: FlatScene, tables: TraceTables, o, d, seed,
 
             weight = throughput / jnp.maximum(ray_pdf, 1e-30)[..., None]
 
-            # Miss -> environment (RayGen.rgen:353-357).
+            # Miss -> environment (RayGen.rgen:353-357), deferred.
             missed = alive & ~rec["hit"]
-            env = sample_cube(scene.env_cube, d)
-            irradiance = irradiance + jnp.where(
-                missed[..., None], env * weight, 0.0)
+            env_weight = jnp.where(missed[..., None], weight, env_weight)
+            env_dir = jnp.where(missed[..., None], d, env_dir)
 
             alive = alive & rec["hit"]
 
@@ -381,8 +427,14 @@ def trace_paths(scene: FlatScene, tables: TraceTables, o, d, seed,
             o = p
             d = brdf_lib.tangent_to_world(wi, tbn)
             t_min = jnp.full_like(t_min, RAY_MIN_T)
-            t_max = jnp.full_like(t_max, RAY_MAX_T)
+            # Dead lanes get an inverted interval: the traversal kernel
+            # rejects them at the root slab test, so finished rays cost
+            # packets nothing (the masked-lane analog of wavefront
+            # compaction).
+            t_max = jnp.where(alive, RAY_MAX_T, -1.0)
 
+    irradiance = irradiance + sample_cube(scene.env_cube, env_dir) \
+        * env_weight
     clamped = jnp.minimum(irradiance, config.max_irradiance)
     return clamped, seed, rays_traced
 

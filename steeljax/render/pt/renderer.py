@@ -77,6 +77,7 @@ def prepare_scene(scene: Scene, env_resolution: int = 256,
         "tri_uv": np.asarray(flat.tri_uv),
         "tri_mat": np.asarray(flat.tri_mat),
         "tri_double_sided": np.asarray(flat.tri_double_sided),
+        "tri_shade": np.asarray(flat.tri_shade),
     })
     flat = flat.replace(
         tri_pos=jnp.asarray(permuted["tri_pos"]),
@@ -85,6 +86,7 @@ def prepare_scene(scene: Scene, env_resolution: int = 256,
         tri_uv=jnp.asarray(permuted["tri_uv"]),
         tri_mat=jnp.asarray(permuted["tri_mat"]),
         tri_double_sided=jnp.asarray(permuted["tri_double_sided"]),
+        tri_shade=jnp.asarray(permuted["tri_shade"]),
     )
     tables = make_trace_tables(bvh, permuted["tri_pos"],
                                permuted["tri_double_sided"],

@@ -51,11 +51,20 @@ class FlatScene:
     # Environment cubemap (+X -X +Y -Y +Z -Z), linear RGB.
     env_cube: jnp.ndarray  # (6, R, R, 3) float32
 
+    # Gather-packed shading tables (one row read per hit instead of many
+    # small gathers — the hot path of unpack_material):
+    # tri_shade: [n0 n1 n2 (9), t0 t1 t2 (9), uv0 uv1 uv2 (6), geom_n (3),
+    #             pad] = 28 cols; mat_packed: [base_color (4), emission (3),
+    # rough, metal, normal_scale, occlusion, alpha_cutoff, flags, pad...]
+    tri_shade: jnp.ndarray   # (T, 28) float32
+    mat_packed: jnp.ndarray  # (M, 16) float32
+
     # Static (trace-time) metadata.
     light_count: int = struct.field(pytree_node=False, default=0)
     env_enabled: bool = struct.field(pytree_node=False, default=False)
     any_alpha_test: bool = struct.field(pytree_node=False, default=False)
     any_alpha_blend: bool = struct.field(pytree_node=False, default=False)
+    has_textures: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def triangle_count(self) -> int:
@@ -64,6 +73,31 @@ class FlatScene:
 
 def _normal_matrix(world: np.ndarray) -> np.ndarray:
     return np.linalg.inv(world[:3, :3]).T
+
+
+def pack_tri_shade(tri_nrm, tri_tan, tri_uv, tri_pos) -> np.ndarray:
+    """(T, 28) per-triangle shading row: vertex normals, tangents, uvs,
+    geometric normal (from winding, for the backface flip)."""
+    t = len(tri_nrm)
+    out = np.zeros((t, 28), np.float32)
+    if t:
+        out[:, 0:9] = np.asarray(tri_nrm, np.float32).reshape(t, 9)
+        out[:, 9:18] = np.asarray(tri_tan, np.float32).reshape(t, 9)
+        out[:, 18:24] = np.asarray(tri_uv, np.float32).reshape(t, 6)
+        p = np.asarray(tri_pos, np.float32)
+        out[:, 24:27] = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+    return out
+
+
+def pack_materials(mat_base_color, mat_emission, mat_params,
+                   mat_flags) -> np.ndarray:
+    m = len(mat_base_color)
+    out = np.zeros((m, 16), np.float32)
+    out[:, 0:4] = mat_base_color
+    out[:, 4:7] = mat_emission
+    out[:, 7:12] = mat_params
+    out[:, 12] = np.asarray(mat_flags, np.float32)
+    return out
 
 
 def flatten_scene(scene: Scene, env_cube: np.ndarray | None = None) -> FlatScene:
@@ -163,6 +197,10 @@ def flatten_scene(scene: Scene, env_cube: np.ndarray | None = None) -> FlatScene
     any_alpha_blend = any(
         bool(f & MaterialFlags.ALPHA_BLEND) for f in mat_flags)
 
+    tri_shade = pack_tri_shade(tri_nrm, tri_tan, tri_uv, tri_pos)
+    mat_packed = pack_materials(mat_base_color, mat_emission, mat_params,
+                                mat_flags)
+
     return FlatScene(
         tri_pos=jnp.asarray(tri_pos), tri_nrm=jnp.asarray(tri_nrm),
         tri_tan=jnp.asarray(tri_tan), tri_uv=jnp.asarray(tri_uv),
@@ -178,8 +216,11 @@ def flatten_scene(scene: Scene, env_cube: np.ndarray | None = None) -> FlatScene
         light_location=jnp.asarray(light_location),
         light_color=jnp.asarray(light_color),
         env_cube=jnp.asarray(env_cube),
+        tri_shade=jnp.asarray(tri_shade),
+        mat_packed=jnp.asarray(mat_packed),
         light_count=int(light_count),
         env_enabled=bool(env_enabled),
         any_alpha_test=bool(any_alpha_test),
         any_alpha_blend=bool(any_alpha_blend),
+        has_textures=bool(scene.textures),
     )
