@@ -129,9 +129,7 @@ def build_bvh(tri_pos: np.ndarray, leaf_size: int = 64,
         result = build_bvh_sah(tri_pos, leaf_size)
         if result is not None:
             nodes, perm, depth = result
-            # Pad the triangle arrays by one leaf so dynamic-slice leaf
-            # reads of max_leaf rows never run off the end.
-            padded = count + leaf_size
+            nodes, perm, padded = _align_leaves(nodes, perm, leaf_size)
             return (BVH(nodes=jnp.asarray(nodes), depth=depth,
                         max_leaf=leaf_size), perm, padded)
         if method == "sah":
@@ -144,14 +142,47 @@ def build_bvh(tri_pos: np.ndarray, leaf_size: int = 64,
             perm, padded)
 
 
+def _align_leaves(nodes: np.ndarray, perm: np.ndarray, leaf_size: int,
+                  align: int = 8) -> tuple[np.ndarray, np.ndarray, int]:
+    """Re-layout leaf triangle ranges so every leaf starts at a multiple of
+    `align` (the TPU kernel reads leaves as whole 128-float rows = 8
+    triangle records).  Returns (nodes, order-with-pads, padded_count)
+    where order entries of -1 denote pad slots."""
+    nodes = np.asarray(nodes)
+    leaf_mask = nodes[:, 7] > 0
+    leaf_idx = np.nonzero(leaf_mask)[0]
+    starts = nodes[leaf_idx, 6].astype(np.int64)
+    counts = nodes[leaf_idx, 7].astype(np.int64)
+    # Process leaves in storage order so output stays partition-contiguous.
+    order_of_leaves = np.argsort(starts, kind="stable")
+    aligned_counts = -(-counts[order_of_leaves] // align) * align
+    new_starts_sorted = np.concatenate(
+        [[0], np.cumsum(aligned_counts)[:-1]])
+    total = int(aligned_counts.sum())
+
+    new_order = np.full(total, -1, np.int64)
+    new_starts = np.empty(len(leaf_idx), np.int64)
+    new_starts[order_of_leaves] = new_starts_sorted
+    for li, ns in zip(range(len(leaf_idx)), new_starts):
+        s, c = starts[li], counts[li]
+        new_order[ns:ns + c] = perm[s:s + c]
+    nodes = nodes.copy()
+    nodes[leaf_idx, 6] = new_starts.astype(np.float32)
+    return nodes, new_order, total
+
+
 def apply_permutation(bvh_result, arrays: dict[str, np.ndarray]
                       ) -> dict[str, np.ndarray]:
     """Reorder + pad per-triangle arrays to match the BVH leaf layout.
 
-    Pad triangles get _PAD_VALUE positions (never hit) and zeros elsewhere.
+    `order` entries of -1 are pad slots: pad triangles get _PAD_VALUE
+    positions (never hit) and zeros elsewhere.
     """
     _, order, padded = bvh_result
     out = {}
+    real = order >= 0
+    src_idx = order[real]
+    dst_idx = np.nonzero(real)[0] if len(order) else order
     for name, arr in arrays.items():
         arr = np.asarray(arr)
         shape = (padded,) + arr.shape[1:]
@@ -159,6 +190,97 @@ def apply_permutation(bvh_result, arrays: dict[str, np.ndarray]
             dst = np.full(shape, _PAD_VALUE, arr.dtype)
         else:
             dst = np.zeros(shape, arr.dtype)
-        dst[:len(order)] = arr[order]
+        if len(order):
+            if len(order) <= padded and real.all():
+                dst[:len(order)] = arr[order]
+            else:
+                dst[dst_idx] = arr[src_idx]
         out[name] = dst
     return out
+
+
+# ---------------------------------------------------------------------------
+# 8-wide collapse (BVH8) for the TPU packet kernel
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class BVH8:
+    """8-wide BVH: one (128,) f32 row per supernode — child c occupies
+    lanes [16c, 16c+16): [min.xyz, max.xyz, meta0, meta1, pad(8)].
+
+    meta1 > 0: leaf child (meta0 = 8-aligned first triangle, meta1 = count)
+    meta1 == 0 and meta0 >= 0: internal child (meta0 = supernode index)
+    empty slots have inverted AABBs and meta0 = -1.
+
+    One scalar pop tests 8 children, cutting the packet kernel's scalar
+    sync overhead ~3x vs the binary tree, and the row layout stores
+    supernodes densely in VMEM (no lane padding).
+    """
+    rows: jnp.ndarray  # (S, 128) float32
+    depth: int = struct.field(pytree_node=False)
+    max_leaf: int = struct.field(pytree_node=False)
+
+
+def collapse_bvh8(nodes: np.ndarray, max_leaf: int) -> tuple[np.ndarray, int]:
+    """Collapse a binary explicit-node tree into BVH8 rows.
+
+    Strategy: starting from a binary node, repeatedly expand the internal
+    slot with the largest surface area until there are 8 slots or only
+    leaves remain.  Returns (rows (S, 128) f32, depth8)."""
+    nodes = np.asarray(nodes)
+
+    def area(i):
+        d = np.maximum(nodes[i, 3:6] - nodes[i, 0:3], 0.0)
+        return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
+
+    rows: list[np.ndarray] = []
+
+    def is_leaf(i):
+        return nodes[i, 7] > 0
+
+    def build(binary_root: int) -> tuple[int, int]:
+        """Returns (supernode index, subtree depth)."""
+        slots = [binary_root]
+        while len(slots) < 8:
+            internal = [s for s in slots if not is_leaf(s)]
+            if not internal:
+                break
+            expand = max(internal, key=area)
+            slots.remove(expand)
+            left = int(nodes[expand, 6])
+            slots.extend([left, left + 1])
+
+        sid = len(rows)
+        rows.append(np.zeros(128, np.float32))
+        depth = 1
+        row = rows[sid]
+        for c in range(8):
+            off = 16 * c
+            if c < len(slots):
+                s = slots[c]
+                row[off:off + 6] = nodes[s, 0:6]
+                if is_leaf(s):
+                    row[off + 6] = nodes[s, 6]
+                    row[off + 7] = nodes[s, 7]
+                else:
+                    child_sid, child_depth = build(s)
+                    row = rows[sid]  # list may have grown; rebind
+                    row[off:off + 6] = nodes[s, 0:6]
+                    row[off + 6] = float(child_sid)
+                    row[off + 7] = 0.0
+                    depth = max(depth, 1 + child_depth)
+            else:
+                row[off:off + 3] = 3.0e37
+                row[off + 3:off + 6] = -3.0e37
+                row[off + 6] = -1.0
+                row[off + 7] = 0.0
+        return sid, depth
+
+    import sys
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 100000))
+    try:
+        _, depth = build(0)
+    finally:
+        sys.setrecursionlimit(old_limit)
+    return np.stack(rows), depth

@@ -18,8 +18,15 @@ for the duration of the kernel.  This trades wasted lanes on incoherent
 packets for perfectly dense VPU work, which is the right trade on this
 hardware; ray reordering between bounces recovers coherence (SURVEY.md §7).
 
-Triangle packing: tris_packed (T, 16) f32
-  [v0.xyz, e1.xyz, e2.xyz, double_sided, pad...]
+Memory layout: the triangle table is *flat-packed* into a (rows, 128) f32
+array (8 triangle records of 16 floats per row) so VMEM stores it densely
+— a (T, 16) array would pad every row to 128 lanes (8x waste).  Leaf
+starts are 8-aligned (bvh._align_leaves), so the kernel reads whole rows
+by dynamic sublane index and extracts record fields at static lane
+offsets (Mosaic cannot index lanes dynamically).  Nodes stay (N, 8) rows
+(few enough that lane padding is cheap).
+
+Triangle record (16 f32): [v0.xyz, e1.xyz, e2.xyz, double_sided, pad...]
 """
 
 from __future__ import annotations
@@ -41,7 +48,17 @@ BLOCK = LANES * SUBLANES  # rays per packet
 _DET_EPS = 1e-12
 
 
+def _flatten_records(records: np.ndarray) -> np.ndarray:
+    """(T, S) -> (ceil(T*S/128), 128) dense lane packing."""
+    flat = np.asarray(records, np.float32).reshape(-1)
+    rows = -(-len(flat) // LANES)
+    out = np.zeros(rows * LANES, np.float32)
+    out[:len(flat)] = flat
+    return out.reshape(rows, LANES)
+
+
 def pack_tris(tri_pos: np.ndarray, tri_double_sided: np.ndarray) -> np.ndarray:
+    """Flat-packed triangle table: 16 f32 per triangle, 128 lanes/row."""
     tri_pos = np.asarray(tri_pos, np.float32)
     t = tri_pos.shape[0]
     packed = np.zeros((t, 16), np.float32)
@@ -49,7 +66,12 @@ def pack_tris(tri_pos: np.ndarray, tri_double_sided: np.ndarray) -> np.ndarray:
     packed[:, 3:6] = tri_pos[:, 1] - tri_pos[:, 0]
     packed[:, 6:9] = tri_pos[:, 2] - tri_pos[:, 0]
     packed[:, 9] = np.asarray(tri_double_sided, np.float32)
-    return packed
+    return _flatten_records(packed)
+
+
+def pack_nodes(nodes: np.ndarray) -> np.ndarray:
+    """Node table passes through as (N, 8) rows (dynamic sublane reads)."""
+    return np.asarray(nodes, np.float32)
 
 
 def _traverse_kernel(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
@@ -117,41 +139,51 @@ def _traverse_kernel(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
 
         @pl.when(is_leaf)
         def _leaf():
-            base = meta0
-            for l in range(max_leaf):
-                tri = tris_ref[base + l]  # (16,)
-                v0x, v0y, v0z = tri[0], tri[1], tri[2]
-                e1x, e1y, e1z = tri[3], tri[4], tri[5]
-                e2x, e2y, e2z = tri[6], tri[7], tri[8]
-                ds = tri[9]
+            base = meta0  # 8-aligned (bvh._align_leaves)
+            row_base = base // 8
+            for r in range(max_leaf // 8):
+                trow = tris_ref[row_base + r]  # (128,) = 8 records
+                for j in range(8):
+                    l = r * 8 + j
+                    off = 16 * j
+                    v0x = trow[off + 0]
+                    v0y = trow[off + 1]
+                    v0z = trow[off + 2]
+                    e1x = trow[off + 3]
+                    e1y = trow[off + 4]
+                    e1z = trow[off + 5]
+                    e2x = trow[off + 6]
+                    e2y = trow[off + 7]
+                    e2z = trow[off + 8]
+                    ds = trow[off + 9]
 
-                # pvec = d x e2
-                px = dy[:] * e2z - dz[:] * e2y
-                py = dz[:] * e2x - dx[:] * e2z
-                pz = dx[:] * e2y - dy[:] * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                if cull_backface:
-                    facing = (det > _DET_EPS) | (
-                        (ds > 0.5) & (jnp.abs(det) > _DET_EPS))
-                else:
-                    facing = jnp.abs(det) > _DET_EPS
-                inv_det = 1.0 / jnp.where(jnp.abs(det) > _DET_EPS, det, 1.0)
-                tx = ox[:] - v0x
-                ty = oy[:] - v0y
-                tz = oz[:] - v0z
-                u = (tx * px + ty * py + tz * pz) * inv_det
-                # qvec = tvec x e1
-                qx = ty * e1z - tz * e1y
-                qy = tz * e1x - tx * e1z
-                qz = tx * e1y - ty * e1x
-                v = (dx[:] * qx + dy[:] * qy + dz[:] * qz) * inv_det
-                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                hit = (facing & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                       & (t >= tmn[:]) & (t <= bt_ref[:]) & (l < cnt))
-                bt_ref[:] = jnp.where(hit, t, bt_ref[:])
-                bu_ref[:] = jnp.where(hit, u, bu_ref[:])
-                bv_ref[:] = jnp.where(hit, v, bv_ref[:])
-                bi_ref[:] = jnp.where(hit, base + jnp.int32(l), bi_ref[:])
+                    # pvec = d x e2
+                    px = dy[:] * e2z - dz[:] * e2y
+                    py = dz[:] * e2x - dx[:] * e2z
+                    pz = dx[:] * e2y - dy[:] * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    if cull_backface:
+                        facing = (det > _DET_EPS) | (
+                            (ds > 0.5) & (jnp.abs(det) > _DET_EPS))
+                    else:
+                        facing = jnp.abs(det) > _DET_EPS
+                    inv_det = 1.0 / jnp.where(jnp.abs(det) > _DET_EPS, det, 1.0)
+                    tx = ox[:] - v0x
+                    ty = oy[:] - v0y
+                    tz = oz[:] - v0z
+                    u = (tx * px + ty * py + tz * pz) * inv_det
+                    # qvec = tvec x e1
+                    qx = ty * e1z - tz * e1y
+                    qy = tz * e1x - tx * e1z
+                    qz = tx * e1y - ty * e1x
+                    v = (dx[:] * qx + dy[:] * qy + dz[:] * qz) * inv_det
+                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    hit = (facing & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                           & (t >= tmn[:]) & (t <= bt_ref[:]) & (l < cnt))
+                    bt_ref[:] = jnp.where(hit, t, bt_ref[:])
+                    bu_ref[:] = jnp.where(hit, u, bu_ref[:])
+                    bv_ref[:] = jnp.where(hit, v, bv_ref[:])
+                    bi_ref[:] = jnp.where(hit, base + jnp.int32(l), bi_ref[:])
             if any_hit:
                 # Occlusion query: once every ray in the packet is blocked
                 # there is nothing left to refine.
@@ -231,15 +263,236 @@ def _trace_packed(nodes, tris_packed, o, d, t_min, t_max,
     return {"t": t, "tri": idx, "u": u, "v": v, "hit": hit}
 
 
-def trace_nearest_packet(bvh: BVH, tris_packed, o, d,
+def trace_nearest_packet(bvh: BVH, nodes_packed, tris_packed, o, d,
                          t_min, t_max, cull_backface: bool = True,
                          any_hit: bool = False):
     """Packet-traversal nearest hit; same contract as traverse.trace_nearest.
 
-    tris_packed comes from pack_tris and must be permuted/padded to the
-    BVH's leaf layout.  With any_hit=True the packet stops once every ray
-    is occluded (shadow rays; the hit mask is still exact)."""
-    return _trace_packed(bvh.nodes, tris_packed, o, d,
+    nodes_packed/tris_packed come from pack_nodes/pack_tris (flat lane
+    layout) and must match the BVH's permuted leaf layout.  With
+    any_hit=True the packet stops once every ray is occluded (shadow rays;
+    the hit mask is still exact)."""
+    return _trace_packed(nodes_packed, tris_packed, o, d,
                          jnp.asarray(t_min, jnp.float32),
                          jnp.asarray(t_max, jnp.float32),
                          bvh.max_leaf, bvh.depth, cull_backface, any_hit)
+
+
+# ---------------------------------------------------------------------------
+# BVH8 kernel: 8 children per scalar pop, encoded leaf stack entries
+# ---------------------------------------------------------------------------
+
+_LEAF_BITS = 21  # tri_row index bits (supports 2^21 * 8 = 16M triangles)
+
+
+def _traverse_kernel8(snodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
+                      tmn, tmx, out_t, out_u, out_v, out_i,
+                      stack_ref, sp_ref, bt_ref, bu_ref, bv_ref, bi_ref,
+                      *, max_leaf: int,
+                      cull_backface: bool, any_hit: bool = False):
+    """Packet traversal over BVH8 supernode rows (steeljax.accel.bvh.BVH8).
+
+    Stack entries encode both node kinds: >= 0 is a supernode id; < 0 is a
+    leaf range enc = -(row | count << 21) - 1 with row = start // 8.
+    One pop either slab-tests 8 children from one dense row (static lane
+    extracts) or intersects one leaf's triangle rows.
+    """
+    f32 = jnp.float32
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                               jnp.where(d < 0, -1e-12, 1e-12), d)
+
+    inv_dx = safe_inv(dx[:])
+    inv_dy = safe_inv(dy[:])
+    inv_dz = safe_inv(dz[:])
+
+    bt_ref[:] = tmx[:]
+    bu_ref[:] = jnp.zeros_like(tmx[:])
+    bv_ref[:] = jnp.zeros_like(tmx[:])
+    bi_ref[:] = jnp.full(tmx.shape, -1, jnp.int32)
+
+    stack_ref[0] = 0
+    sp_ref[0] = 1
+
+    def cond(_):
+        return sp_ref[0] > 0
+
+    def body(_):
+        sp = sp_ref[0]
+        entry = stack_ref[sp - 1]
+        sp_ref[0] = sp - 1
+
+        @pl.when(entry >= 0)
+        def _supernode():
+            row = snodes_ref[entry]  # (128,)
+            for c in range(8):
+                off = 16 * c
+                t0x = (row[off + 0] - ox[:]) * inv_dx
+                t1x = (row[off + 3] - ox[:]) * inv_dx
+                t0y = (row[off + 1] - oy[:]) * inv_dy
+                t1y = (row[off + 4] - oy[:]) * inv_dy
+                t0z = (row[off + 2] - oz[:]) * inv_dz
+                t1z = (row[off + 5] - oz[:]) * inv_dz
+                near = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.minimum(t0z, t1z))
+                far = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x),
+                                jnp.maximum(t0y, t1y)),
+                    jnp.maximum(t0z, t1z))
+                hit = (near <= far) & (far >= tmn[:]) & (near <= bt_ref[:])
+                meta0 = row[off + 6].astype(jnp.int32)
+                meta1 = row[off + 7].astype(jnp.int32)
+                hit_any = jnp.any(hit)
+
+                @pl.when(hit_any & (meta1 == 0) & (meta0 >= 0))
+                def _push_super():
+                    s = sp_ref[0]
+                    stack_ref[s] = meta0
+                    sp_ref[0] = s + 1
+
+                @pl.when(hit_any & (meta1 > 0))
+                def _push_leaf():
+                    enc = (meta0 // 8) | (meta1 << _LEAF_BITS)
+                    s = sp_ref[0]
+                    stack_ref[s] = -(enc + 1)
+                    sp_ref[0] = s + 1
+
+        @pl.when(entry < 0)
+        def _leaf():
+            enc = -entry - 1
+            row_base = enc & ((1 << _LEAF_BITS) - 1)
+            cnt = enc >> _LEAF_BITS
+            for r in range(max_leaf // 8):
+                trow = tris_ref[row_base + r]  # (128,) = 8 records
+                for j in range(8):
+                    l = r * 8 + j
+                    off = 16 * j
+                    v0x = trow[off + 0]
+                    v0y = trow[off + 1]
+                    v0z = trow[off + 2]
+                    e1x = trow[off + 3]
+                    e1y = trow[off + 4]
+                    e1z = trow[off + 5]
+                    e2x = trow[off + 6]
+                    e2y = trow[off + 7]
+                    e2z = trow[off + 8]
+                    ds = trow[off + 9]
+
+                    px = dy[:] * e2z - dz[:] * e2y
+                    py = dz[:] * e2x - dx[:] * e2z
+                    pz = dx[:] * e2y - dy[:] * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    if cull_backface:
+                        facing = (det > _DET_EPS) | (
+                            (ds > 0.5) & (jnp.abs(det) > _DET_EPS))
+                    else:
+                        facing = jnp.abs(det) > _DET_EPS
+                    inv_det = 1.0 / jnp.where(
+                        jnp.abs(det) > _DET_EPS, det, 1.0)
+                    tx = ox[:] - v0x
+                    ty = oy[:] - v0y
+                    tz = oz[:] - v0z
+                    u = (tx * px + ty * py + tz * pz) * inv_det
+                    qx = ty * e1z - tz * e1y
+                    qy = tz * e1x - tx * e1z
+                    qz = tx * e1y - ty * e1x
+                    v = (dx[:] * qx + dy[:] * qy + dz[:] * qz) * inv_det
+                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    hit = (facing & (u >= 0.0) & (v >= 0.0)
+                           & (u + v <= 1.0) & (t >= tmn[:])
+                           & (t <= bt_ref[:]) & (l < cnt))
+                    bt_ref[:] = jnp.where(hit, t, bt_ref[:])
+                    bu_ref[:] = jnp.where(hit, u, bu_ref[:])
+                    bv_ref[:] = jnp.where(hit, v, bv_ref[:])
+                    bi_ref[:] = jnp.where(
+                        hit, row_base * 8 + jnp.int32(l), bi_ref[:])
+            if any_hit:
+                @pl.when(jnp.all(bi_ref[:] >= 0))
+                def _done():
+                    sp_ref[0] = 0
+        return 0
+
+    jax.lax.while_loop(cond, body, 0)
+
+    found = bi_ref[:] >= 0
+    out_t[:] = jnp.where(found, bt_ref[:], f32(-1.0))
+    out_u[:] = bu_ref[:]
+    out_v[:] = bv_ref[:]
+    out_i[:] = bi_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_leaf", "depth", "cull_backface", "any_hit"))
+def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
+                   max_leaf: int, depth: int,
+                   cull_backface: bool, any_hit: bool = False):
+    count = o.shape[0]
+    padded = -(-count // BLOCK) * BLOCK
+    pad = padded - count
+
+    def prep(x, fill=0.0):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=fill)
+
+    o = prep(o)
+    d = prep(d, 1.0)
+    tmn = prep(jnp.broadcast_to(t_min, (count,)))
+    tmx = prep(jnp.broadcast_to(t_max, (count,)), -1.0)
+
+    rows = padded // LANES
+    comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tmn, tmx]
+    comps = [c.reshape(rows, LANES) for c in comps]
+
+    grid = (rows // SUBLANES,)
+    ray_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _traverse_kernel8, max_leaf=max_leaf,
+        cull_backface=cull_backface, any_hit=any_hit)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+    ]
+    t, u, v, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[full, full] + [ray_spec] * 8,
+        out_specs=[ray_spec] * 4,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.SMEM((8 * depth + 16,), jnp.int32),  # encoded stack
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.float32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.float32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.float32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+    )(snode_rows, tris_packed, *comps)
+
+    t = t.reshape(-1)[:count]
+    u = u.reshape(-1)[:count]
+    v = v.reshape(-1)[:count]
+    idx = idx.reshape(-1)[:count]
+    hit = idx >= 0
+    return {"t": t, "tri": idx, "u": u, "v": v, "hit": hit}
+
+
+def trace_nearest_packet8(bvh8, tris_packed, o, d, t_min, t_max,
+                          cull_backface: bool = True,
+                          any_hit: bool = False):
+    """BVH8 packet traversal; same contract as traverse.trace_nearest."""
+    return _trace_packed8(bvh8.rows, tris_packed, o, d,
+                          jnp.asarray(t_min, jnp.float32),
+                          jnp.asarray(t_max, jnp.float32),
+                          bvh8.max_leaf, bvh8.depth, cull_backface, any_hit)

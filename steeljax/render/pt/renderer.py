@@ -18,8 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from steeljax.accel.bvh import apply_permutation, build_bvh
-from steeljax.accel.dispatch import TraceTables, make_trace_tables
+from steeljax.accel.bvh import apply_permutation
+from steeljax.accel.dispatch import TraceTables, prepare_tables
 from steeljax.core import camera as camera_lib
 from steeljax.core.colors import tone_map
 from steeljax.core.config import RenderConfig
@@ -53,7 +53,7 @@ def accumulate(state: AccumulationState,
 def prepare_scene(scene: Scene, env_resolution: int = 256,
                   use_default_environment: bool = True,
                   use_pallas: bool | None = None,
-                  leaf_size: int = 32) -> tuple[FlatScene, TraceTables]:
+                  leaf_size: int = 24) -> tuple[FlatScene, TraceTables]:
     """Flatten + build acceleration structure + environment cubemap.
 
     Scenes without a loadable panorama get the procedural sky when
@@ -68,9 +68,10 @@ def prepare_scene(scene: Scene, env_resolution: int = 256,
     flat = flatten_scene(scene, env_cube)
 
     tri_pos = np.asarray(flat.tri_pos)
-    result = build_bvh(tri_pos, leaf_size=leaf_size)
-    bvh = result[0]
-    permuted = apply_permutation(result, {
+    tables, global_order, total_padded = prepare_tables(
+        tri_pos, np.asarray(flat.tri_double_sided), leaf_size=leaf_size,
+        use_pallas=use_pallas)
+    permuted = apply_permutation((None, global_order, total_padded), {
         "tri_pos": tri_pos,
         "tri_nrm": np.asarray(flat.tri_nrm),
         "tri_tan": np.asarray(flat.tri_tan),
@@ -88,9 +89,6 @@ def prepare_scene(scene: Scene, env_resolution: int = 256,
         tri_double_sided=jnp.asarray(permuted["tri_double_sided"]),
         tri_shade=jnp.asarray(permuted["tri_shade"]),
     )
-    tables = make_trace_tables(bvh, permuted["tri_pos"],
-                               permuted["tri_double_sided"],
-                               use_pallas=use_pallas)
     return flat, tables
 
 

@@ -142,3 +142,32 @@ def make_cornell_scene(sphere_detail: int = 12) -> Scene:
         y_fov=0.872664626, width=1.77777, height=1.0,
         z_near=0.01, z_far=100.0)
     return scene
+
+
+def make_stress_scene(instances: int = 400, sphere_detail: int = 24) -> Scene:
+    """Cornell box populated with a grid of instanced spheres/boxes —
+    a multi-million-triangle synthetic workload standing in for San Miguel
+    (the reference snapshot ships no large scene geometry)."""
+    rng = np.random.default_rng(7)
+    scene = make_cornell_scene(sphere_detail=sphere_detail)
+    sphere = 2  # from make_cornell_scene
+    box = 1
+    side = int(np.ceil(instances ** (1 / 3)))
+    count = 0
+    for ix in range(side):
+        for iy in range(side):
+            for iz in range(side):
+                if count >= instances:
+                    break
+                pos = (np.array([ix, iy, iz], np.float32) / max(side - 1, 1)
+                       * 8.0 - 4.0)
+                scale = 0.25 + 0.35 * rng.random()
+                prim = sphere if (count % 3) else box
+                mat = 4 + (count % 2)  # matte / metal
+                scene.add_entity(Entity(
+                    name=f"stress_{count}",
+                    local_transform=_trs(pos, None, 0.0,
+                                         (scale, scale, scale)),
+                    render_objects=[RenderObject(prim, mat)]))
+                count += 1
+    return scene
