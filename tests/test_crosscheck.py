@@ -1,0 +1,76 @@
+"""PT vs hybrid cross-validation — the automated form of the reference's
+`T`-toggle visual A/B (SceneRenderer.cpp:375-388, SURVEY.md §4).
+
+The two pipelines share primary visibility and materials but differ in
+light transport (Monte-Carlo vs split-sum IBL + punctual direct), so the
+check is structural: same silhouettes, correlated brightness, both modes
+agree on what is background.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from steeljax.core import camera as camera_lib
+from steeljax.core.config import RenderConfig
+from steeljax.env.environment import load_environment
+from steeljax.render.hybrid.renderer import HybridRenderer
+from steeljax.render.pt.renderer import PathTracingRenderer, prepare_scene
+from steeljax.scene.builtin import make_cornell_scene
+
+W, H = 48, 27
+
+
+@pytest.fixture(scope="module")
+def both_images():
+    scene = make_cornell_scene(sphere_detail=4)
+    prepared = prepare_scene(scene, env_resolution=16)
+    env = load_environment(
+        cube=np.asarray(prepared[0].env_cube), irradiance_resolution=8,
+        reflection_resolution=16, lut_resolution=16, lut_samples=64,
+        reflection_samples=32, irradiance_delta=0.3)
+    config = RenderConfig(width=W, height=H)
+
+    pt = PathTracingRenderer(scene, W, H, config, prepared=prepared)
+    pt_img = pt.render(24)
+
+    hy = HybridRenderer(scene, W, H, config, environment=env,
+                        prepared=prepared)
+    hy_img = hy.render_frame()
+    return pt_img, hy_img
+
+
+def test_same_silhouette(both_images):
+    pt_img, hy_img = both_images
+    # Background = bright sky in both; classify by the blue-ish sky pixels
+    # at the frame edge columns (outside the box).
+    pt_edge = pt_img[:, 0].mean()
+    hy_edge = hy_img[:, 0].mean()
+    assert abs(pt_edge - hy_edge) < 0.25
+
+
+def test_correlated_brightness(both_images):
+    pt_img, hy_img = both_images
+    a = pt_img.reshape(-1, 3).mean(axis=1)
+    b = hy_img.reshape(-1, 3).mean(axis=1)
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.6, f"PT/hybrid correlation too low: {corr:.2f}"
+
+
+def test_wall_tint_agreement(both_images):
+    """Green wall left, red wall right in both modes."""
+    for img in both_images:
+        left = img[H // 2, W // 3]
+        right = img[H // 2, 2 * W // 3]
+        # The walls are viewed at grazing angles near the box sides; check
+        # the interior thirds lean the right way chromatic-wise.
+        assert img[:, :W // 2, 1].mean() >= img[:, :W // 2, 0].mean() - 0.1
+        assert img[:, W // 2:, 0].mean() >= img[:, W // 2:, 1].mean() - 0.1
+
+
+def test_rmse_tool(both_images):
+    from steeljax.apps.compare import rmse
+    pt_img, hy_img = both_images
+    assert rmse(pt_img, pt_img) == 0.0
+    value = rmse(pt_img, hy_img)
+    assert 0.0 < value < 0.6
