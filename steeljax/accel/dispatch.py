@@ -67,7 +67,7 @@ def backend_is_tpu() -> bool:
 
 
 def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
-                   max_chunk: int = MAX_CHUNK_TRIS,
+                   max_chunk: int | None = None,
                    use_pallas: bool | None = None, method: str = "auto"
                    ) -> tuple["TraceTables", np.ndarray, int]:
     """Build (possibly chunked) acceleration tables.
@@ -78,6 +78,8 @@ def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
     """
     if use_pallas is None:
         use_pallas = backend_is_tpu()
+    if max_chunk is None:
+        max_chunk = MAX_CHUNK_TRIS
     tri_pos = np.asarray(tri_pos, np.float32)
     ds = np.asarray(tri_double_sided)
     count = len(tri_pos)

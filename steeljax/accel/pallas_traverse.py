@@ -347,18 +347,16 @@ def _traverse_kernel8(snodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
                 meta1 = row[off + 7].astype(jnp.int32)
                 hit_any = jnp.any(hit)
 
-                @pl.when(hit_any & (meta1 == 0) & (meta0 >= 0))
-                def _push_super():
-                    s = sp_ref[0]
-                    stack_ref[s] = meta0
-                    sp_ref[0] = s + 1
-
-                @pl.when(hit_any & (meta1 > 0))
-                def _push_leaf():
-                    enc = (meta0 // 8) | (meta1 << _LEAF_BITS)
-                    s = sp_ref[0]
-                    stack_ref[s] = -(enc + 1)
-                    sp_ref[0] = s + 1
+                # Branchless push: write the would-be entry to the next
+                # slot and advance sp only when the packet hit a valid
+                # child (no predicated regions in the hot loop).
+                is_leaf_child = meta1 > 0
+                enc = (meta0 // 8) | (meta1 << _LEAF_BITS)
+                entry_val = jnp.where(is_leaf_child, -(enc + 1), meta0)
+                do_push = hit_any & (meta0 >= 0)
+                s = sp_ref[0]
+                stack_ref[s] = entry_val
+                sp_ref[0] = s + do_push.astype(jnp.int32)
 
         @pl.when(entry < 0)
         def _leaf():

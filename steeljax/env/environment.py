@@ -25,6 +25,11 @@ class Environment:
     cube: jnp.ndarray                       # (6, R, R, 3) radiance
     irradiance: jnp.ndarray                 # (6, r, r, 3)
     reflection_mips: tuple                  # tuple of (6, m, m, 3)
+    # Packed form of the reflection chain for fast runtime trilinear
+    # (8 gathers) — see env.cubemap.pack_mips.
+    reflection_data: jnp.ndarray            # (N, 3)
+    reflection_offsets: jnp.ndarray         # (M,)
+    reflection_sizes: jnp.ndarray           # (M,)
     specular_lut: jnp.ndarray               # (L, L, 2)
 
 
@@ -48,11 +53,17 @@ def load_environment(panorama_path: str | None = None,
         else:
             cube = procedural_sky_cube(cube_resolution)
     cube = jnp.asarray(cube, jnp.float32)
+    from steeljax.env.cubemap import pack_mips
+    reflection_mips = ibl.generate_reflection_mips(
+        cube, reflection_resolution, reflection_samples)
+    data, offsets, sizes = pack_mips(reflection_mips)
     return Environment(
         cube=cube,
         irradiance=ibl.generate_irradiance_cube(
             cube, irradiance_resolution, irradiance_delta),
-        reflection_mips=ibl.generate_reflection_mips(
-            cube, reflection_resolution, reflection_samples),
+        reflection_mips=reflection_mips,
+        reflection_data=data,
+        reflection_offsets=offsets,
+        reflection_sizes=sizes,
         specular_lut=ibl.specular_brdf_lut(lut_resolution, lut_samples),
     )

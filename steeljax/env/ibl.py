@@ -113,10 +113,10 @@ def _tangent_frames(n: jnp.ndarray):
     return make_tbn(n)
 
 
-@functools.partial(jax.jit, static_argnames=("resolution",))
-def _irradiance_impl(env: jnp.ndarray, dirs: jnp.ndarray,
-                     tangent_dirs: jnp.ndarray,
-                     cos_sin: jnp.ndarray, resolution: int) -> jnp.ndarray:
+@jax.jit
+def _irradiance_segment(env: jnp.ndarray, dirs: jnp.ndarray,
+                        tangent_dirs: jnp.ndarray,
+                        cos_sin: jnp.ndarray, acc: jnp.ndarray):
     t, b, n = _tangent_frames(dirs)        # (P, 3) each
 
     def body(i, acc):
@@ -124,25 +124,36 @@ def _irradiance_impl(env: jnp.ndarray, dirs: jnp.ndarray,
         world = td[0] * t + td[1] * b + td[2] * n
         return acc + sample_cube(env, world) * cos_sin[i]
 
-    total = jax.lax.fori_loop(
-        0, tangent_dirs.shape[0], body,
-        jnp.zeros(dirs.shape[:-1] + (3,), jnp.float32))
-    irradiance = PI * total / tangent_dirs.shape[0]
-    return irradiance.reshape(6, resolution, resolution, 3)
+    return jax.lax.fori_loop(0, tangent_dirs.shape[0], body, acc)
 
 
 def generate_irradiance_cube(env: jnp.ndarray, resolution: int = 64,
-                             sample_delta: float = 0.025) -> jnp.ndarray:
-    """Diffuse irradiance cubemap (Irradiance.comp)."""
+                             sample_delta: float = 0.025,
+                             segment: int = 512) -> jnp.ndarray:
+    """Diffuse irradiance cubemap (Irradiance.comp).
+
+    The hemisphere sum runs in host-level segments so no single device
+    program exceeds watchdog limits at full sample budgets."""
     dirs = jnp.asarray(face_directions(resolution).reshape(-1, 3))
     phi = np.arange(0.0, 2.0 * np.pi, sample_delta)
     theta = np.arange(0.0, 0.5 * np.pi, sample_delta)
     pp, tt = np.meshgrid(phi, theta, indexing="ij")
     tangent = np.stack([np.sin(tt) * np.cos(pp), np.sin(tt) * np.sin(pp),
-                        np.cos(tt)], axis=-1).reshape(-1, 3)
-    cos_sin = (np.cos(tt) * np.sin(tt)).reshape(-1)
-    return _irradiance_impl(env, dirs, jnp.asarray(tangent, jnp.float32),
-                            jnp.asarray(cos_sin, jnp.float32), resolution)
+                        np.cos(tt)], axis=-1).reshape(-1, 3).astype(np.float32)
+    cos_sin = (np.cos(tt) * np.sin(tt)).reshape(-1).astype(np.float32)
+    count = len(tangent)
+    acc = jnp.zeros(dirs.shape[:-1] + (3,), jnp.float32)
+    for start in range(0, count, segment):
+        end = min(start + segment, count)
+        # Pad the final segment so every call shares one compiled program.
+        seg_t = np.zeros((segment, 3), np.float32)
+        seg_w = np.zeros((segment,), np.float32)
+        seg_t[:end - start] = tangent[start:end]
+        seg_w[:end - start] = cos_sin[start:end]
+        acc = _irradiance_segment(env, dirs, jnp.asarray(seg_t),
+                                  jnp.asarray(seg_w), acc)
+    irradiance = PI * acc / count
+    return irradiance.reshape(6, resolution, resolution, 3)
 
 
 def downsample_cube(cube: jnp.ndarray) -> jnp.ndarray:
@@ -185,8 +196,14 @@ def sample_cube_lod(mips: tuple[jnp.ndarray, ...], direction: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("roughness", "resolution",
                                               "sample_count"))
-def _reflection_mip(mips, dirs, xi, roughness: float, resolution: int,
-                    sample_count: int) -> jnp.ndarray:
+def _reflection_segment(flat_data, flat_offsets, flat_sizes, dirs, xi,
+                        acc_radiance, acc_weight,
+                        roughness: float, resolution: int,
+                        sample_count: int):
+    """One sample segment of the GGX prefilter using the packed mip chain
+    (true trilinear = 8 gathers per sample, not one bilinear per level)."""
+    from steeljax.env.cubemap import sample_flat_mips
+
     t, b, n = _tangent_frames(dirs)
     a = roughness * roughness
     a2 = max(a * a, 1e-6)
@@ -206,33 +223,42 @@ def _reflection_mip(mips, dirs, xi, roughness: float, resolution: int,
         sa_sample = 1.0 / (sample_count * pdf + 1e-6)
         lod = jnp.where(roughness == 0.0, 0.0,
                         0.5 * jnp.log2(sa_sample / sa_texel))
-        radiance = sample_cube_lod(mips, l, lod)
+        radiance = sample_flat_mips(flat_data, flat_offsets, flat_sizes,
+                                    l, lod)
         radiance = radiance / jnp.maximum(
             luminance(radiance)[..., None] / MAX_LUMINANCE, 1.0)
         weight = nol[..., None]
         return acc[0] + radiance * weight, acc[1] + weight
 
-    total, weight = jax.lax.fori_loop(
-        0, sample_count, body,
-        (jnp.zeros(dirs.shape[:-1] + (3,), jnp.float32),
-         jnp.zeros(dirs.shape[:-1] + (1,), jnp.float32)))
-    out = total / jnp.maximum(weight, 1e-8)
-    return out.reshape(6, resolution, resolution, 3)
+    return jax.lax.fori_loop(0, xi.shape[0], body,
+                             (acc_radiance, acc_weight))
 
 
 def generate_reflection_mips(env: jnp.ndarray, resolution: int = 256,
-                             sample_count: int = 2048
+                             sample_count: int = 2048,
+                             segment: int = 256
                              ) -> tuple[jnp.ndarray, ...]:
     """Prefiltered specular reflection chain (Reflection.comp): mip m is
-    filtered at roughness = m / (mips - 1)."""
+    filtered at roughness = m / (mips - 1).  Sample sums run in host-level
+    segments to stay under device program limits."""
+    from steeljax.env.cubemap import pack_mips
+
     env_mips = build_cube_mips(env)
+    flat_data, flat_offsets, flat_sizes = pack_mips(env_mips)
     mip_count = int(np.log2(resolution)) + 1
-    xi = jnp.asarray(_hammersley(sample_count))
+    xi_all = _hammersley(sample_count)
     out = []
     for m in range(mip_count):
         res = max(resolution >> m, 1)
         roughness = m / max(mip_count - 1, 1)
         dirs = jnp.asarray(face_directions(res).reshape(-1, 3))
-        out.append(_reflection_mip(env_mips, dirs, xi, float(roughness),
-                                   res, sample_count))
+        acc_r = jnp.zeros(dirs.shape[:-1] + (3,), jnp.float32)
+        acc_w = jnp.zeros(dirs.shape[:-1] + (1,), jnp.float32)
+        for start in range(0, sample_count, segment):
+            xi = jnp.asarray(xi_all[start:start + segment])
+            acc_r, acc_w = _reflection_segment(
+                flat_data, flat_offsets, flat_sizes, dirs, xi,
+                acc_r, acc_w, float(roughness), res, sample_count)
+        result = acc_r / jnp.maximum(acc_w, 1e-8)
+        out.append(result.reshape(6, res, res, 3))
     return tuple(out)

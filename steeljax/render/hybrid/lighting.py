@@ -110,7 +110,10 @@ def compute_indirect_lighting(env: Environment, position, n, v, nov,
     r = 2.0 * jnp.sum(v * n, axis=-1, keepdims=True) * n - v
     mips = len(env.reflection_mips)
     lod = roughness * (mips - 1)
-    reflection = sample_cube_lod(env.reflection_mips, r, lod)
+    from steeljax.env.cubemap import sample_flat_mips
+    reflection = sample_flat_mips(env.reflection_data,
+                                  env.reflection_offsets,
+                                  env.reflection_sizes, r, lod)
 
     scale_offset = sample_lut(env.specular_lut, nov, roughness)
 

@@ -108,7 +108,9 @@ def make_uv_sphere(radius: float = 1.0, rings: int = 16,
         for j in range(sectors):
             a = i * (sectors + 1) + j
             b = a + sectors + 1
-            idx += [a, b, a + 1, a + 1, b, b + 1]
+            # CCW seen from outside, so the geometric normal (cross of the
+            # winding edges) points outward like the shading normals.
+            idx += [a, a + 1, b, a + 1, b + 1, b]
     indices = np.array(idx, np.uint32)
     normals = positions / np.maximum(
         np.linalg.norm(positions, axis=-1, keepdims=True), 1e-20)

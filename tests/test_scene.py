@@ -128,3 +128,18 @@ def test_box_winding_outward():
     face_n = np.cross(p[tri[:, 1]] - p[tri[:, 0]], p[tri[:, 2]] - p[tri[:, 0]])
     # Outward winding: geometric normal points away from the origin.
     assert (np.einsum("ij,ij->i", face_n, centers) > 0).all()
+
+
+def test_sphere_winding_outward():
+    from steeljax.scene.primitive import make_uv_sphere
+    sph = make_uv_sphere(1.0, 8, 16)
+    tri = sph.indices.reshape(-1, 3)
+    p = sph.positions
+    e1 = p[tri[:, 1]] - p[tri[:, 0]]
+    e2 = p[tri[:, 2]] - p[tri[:, 0]]
+    face_n = np.cross(e1, e2)
+    centers = p[tri].mean(axis=1)
+    area = np.linalg.norm(face_n, axis=1)
+    ok = area > 1e-8  # skip degenerate pole triangles
+    dots = np.einsum("ij,ij->i", face_n[ok], centers[ok])
+    assert (dots > 0).all(), "sphere winding must face outward"
