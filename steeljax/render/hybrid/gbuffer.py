@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from steeljax.accel.dispatch import TraceTables, trace_nearest
 from steeljax.render.pt import brdf as brdf_lib
 from steeljax.render.pt.integrator import _interp, _normalize
-from steeljax.render.texture import sample_bilinear
+from steeljax.render.texture import sample_bilinear, sample_trilinear
 from steeljax.scene.flatten import FlatScene
 from steeljax.scene.material import MaterialFlags
 
@@ -72,7 +72,7 @@ def trace_opaque(scene: FlatScene, tables: TraceTables, o, d, t_min, t_max,
 
 def generate_gbuffer(scene: FlatScene, tables: TraceTables, o, d,
                      t_min, t_max, view_proj, camera_position,
-                     max_retrace: int = 4):
+                     max_retrace: int = 4, pixel_spread: float = 0.0):
     """Returns the G-buffer dict for a ray batch: normal (N,3 in [0,1]
     10-bit packed), emission (N,3 linear-raw), base_color_occlusion (N,4
     8-bit), rough_metal (N,2 8-bit), depth (N, reverse-z NDC, 0 = miss),
@@ -88,6 +88,16 @@ def generate_gbuffer(scene: FlatScene, tables: TraceTables, o, d,
     normal = _normalize(_interp(scene.tri_nrm, tri, u, v))
     tangent = _normalize(_interp(scene.tri_tan, tri, u, v))
 
+    # Mip lod from the ray footprint (the raster pipeline's implicit
+    # derivatives): world footprint ~ t * pixel spread / cos(incidence),
+    # converted to texels with the per-triangle uv density.
+    shade = scene.tri_shade[tri]
+    geom_n = _normalize(shade[:, 24:27])
+    cos_inc = jnp.maximum(jnp.abs(jnp.sum(geom_n * d, axis=-1)), 0.3)
+    uv_density = shade[:, 27]
+    footprint_uv = (rec["t"] * pixel_spread / cos_inc) * uv_density
+    base_lod = jnp.log2(jnp.maximum(footprint_uv, 1e-20))
+
     # DOUBLE_SIDED: FaceForward toward the viewer (Material.glsl:33-38).
     view = _normalize(camera_position - p)
     ds_mat = (scene.mat_flags[mat] & int(MaterialFlags.DOUBLE_SIDED)) != 0
@@ -97,8 +107,10 @@ def generate_gbuffer(scene: FlatScene, tables: TraceTables, o, d,
     # NORMAL_MAPPING (Material.glsl:40-47).
     n_idx = scene.mat_tex[mat, 2]
     has_nm = n_idx >= 0
-    ns = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
-                         n_idx, uv)[..., :3] * 2.0 - 1.0
+    nm_width = jnp.maximum(scene.tex_size[jnp.maximum(n_idx, 0), 0], 1)
+    nm_lod = base_lod + jnp.log2(nm_width.astype(jnp.float32))
+    ns = sample_trilinear(scene.atlas, scene.tex_offset, scene.tex_size,
+                          n_idx, uv, nm_lod)[..., :3] * 2.0 - 1.0
     scale = scene.mat_params[mat, 2]
     ns = _normalize(ns * jnp.stack([scale, scale, jnp.ones_like(scale)],
                                    axis=-1))
@@ -108,8 +120,10 @@ def generate_gbuffer(scene: FlatScene, tables: TraceTables, o, d,
 
     def tex_sample(slot):
         idx = scene.mat_tex[mat, slot]
-        s = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
-                            idx, uv)
+        width = jnp.maximum(scene.tex_size[jnp.maximum(idx, 0), 0], 1)
+        lod = base_lod + jnp.log2(width.astype(jnp.float32))
+        s = sample_trilinear(scene.atlas, scene.tex_offset, scene.tex_size,
+                             idx, uv, lod)
         return s, idx >= 0
 
     base_tex, has_base = tex_sample(0)

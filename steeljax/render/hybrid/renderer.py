@@ -54,9 +54,13 @@ def render_hybrid_pixels(scene, tables, env: Environment,
     origin = jnp.broadcast_to(inverse_view[:3, 3], direction.shape)
     camera_position = inverse_view[:3, 3]
 
+    # Vertical pixel spread = 2*tan(fovy/2)/H, recovered from the
+    # projection: inverse_proj[1][1] = tan(fovy/2) (with the Vulkan flip).
+    pixel_spread = 2.0 * jnp.abs(inverse_proj[1, 1]) / height
     gbuffer = generate_gbuffer(scene, tables, origin, direction,
                                camera_near, camera_far, view_proj,
-                               camera_position)
+                               camera_position,
+                               pixel_spread=pixel_spread)
 
     inverse_proj_view = jnp.einsum(
         "ij,jk->ik", inverse_view, inverse_proj)

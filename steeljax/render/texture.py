@@ -13,16 +13,18 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def sample_bilinear(atlas, tex_offset, tex_size, tex_id, uv):
-    """Bilinear repeat-wrap sample at lod 0.
+def _bilinear_level(atlas, tex_offset, tex_size, tex_id, uv, level):
+    """Bilinear repeat-wrap sample at integer mip `level` (broadcastable).
 
-    atlas: (N, 4) uint8; tex_id: (...,) int32 (callers mask id < 0
-    themselves); uv: (..., 2) float32.  Returns (..., 4) float32 in [0, 1].
+    atlas: (N, 4) uint8; tex_offset: (K, M) int32 per-mip offsets;
+    tex_id: (...,) int32 (callers mask id < 0 themselves); uv: (..., 2).
+    Returns (..., 4) float32 in [0, 1].
     """
     tid = jnp.maximum(tex_id, 0)
-    w = tex_size[tid, 0]
-    h = tex_size[tid, 1]
-    off = tex_offset[tid]
+    level = jnp.clip(level, 0, tex_offset.shape[1] - 1)
+    w = jnp.maximum(tex_size[tid, 0] >> level, 1)
+    h = jnp.maximum(tex_size[tid, 1] >> level, 1)
+    off = tex_offset[tid, level]
 
     x = uv[..., 0] * w.astype(jnp.float32) - 0.5
     y = uv[..., 1] * h.astype(jnp.float32) - 0.5
@@ -50,3 +52,19 @@ def sample_bilinear(atlas, tex_offset, tex_size, tex_id, uv):
     top = c00 * (1.0 - fx) + c10 * fx
     bot = c01 * (1.0 - fx) + c11 * fx
     return top * (1.0 - fy) + bot * fy
+
+
+def sample_bilinear(atlas, tex_offset, tex_size, tex_id, uv):
+    """Bilinear sample at lod 0 (ray-tracing stages sample implicit lod 0
+    — no derivatives in RT shaders, so this is PT-mode parity)."""
+    return _bilinear_level(atlas, tex_offset, tex_size, tex_id, uv, 0)
+
+
+def sample_trilinear(atlas, tex_offset, tex_size, tex_id, uv, lod):
+    """Trilinear sample (the raster pipeline's mip-mapped texture()):
+    bilinear at the two bracketing mips + linear blend."""
+    lo = jnp.floor(jnp.maximum(lod, 0.0)).astype(jnp.int32)
+    frac = (jnp.maximum(lod, 0.0) - lo.astype(jnp.float32))[..., None]
+    a = _bilinear_level(atlas, tex_offset, tex_size, tex_id, uv, lo)
+    b = _bilinear_level(atlas, tex_offset, tex_size, tex_id, uv, lo + 1)
+    return a * (1.0 - frac) + b * frac

@@ -39,10 +39,13 @@ class FlatScene:
     #                                            occlusion, emission (-1 none)
     mat_flags: jnp.ndarray       # (M,) int32 MaterialFlags bits
 
-    # Bindless texture array -> one flat texel pool + per-texture descriptors.
-    atlas: jnp.ndarray        # (N, 4) uint8 texels
-    tex_offset: jnp.ndarray   # (K,) int32 texel offset into atlas
-    tex_size: jnp.ndarray     # (K, 2) int32 (width, height)
+    # Bindless texture array -> one flat texel pool + per-texture
+    # descriptors.  Each texture stores a full mip chain (TextureCache
+    # generates mips on upload, TextureCache.cpp:74-115); tex_offset[k, m]
+    # is the texel offset of texture k's mip m (repeating the last level).
+    atlas: jnp.ndarray        # (N, 4) uint8 texels (all mips, all textures)
+    tex_offset: jnp.ndarray   # (K, MAX_TEX_MIPS) int32
+    tex_size: jnp.ndarray     # (K, 2) int32 base (width, height)
 
     # Lights (gpu::Light, Common.h:24-28), padded to MAX_LIGHT_COUNT.
     light_location: jnp.ndarray  # (16, 4) float32, w = isPoint
@@ -71,21 +74,48 @@ class FlatScene:
         return self.tri_pos.shape[0]
 
 
+MAX_TEX_MIPS = 13  # enough for 4096^2 sources
+
+
+def _downsample2(img: np.ndarray) -> np.ndarray:
+    """2x2 box filter with odd-size clamping (mip generation)."""
+    h, w = img.shape[:2]
+    nh, nw = max(h // 2, 1), max(w // 2, 1)
+    ys = (np.arange(nh) * 2)
+    xs = (np.arange(nw) * 2)
+    y1 = np.minimum(ys + 1, h - 1)
+    x1 = np.minimum(xs + 1, w - 1)
+    acc = (img[np.ix_(ys, xs)].astype(np.uint16)
+           + img[np.ix_(ys, x1)] + img[np.ix_(y1, xs)]
+           + img[np.ix_(y1, x1)])
+    return (acc // 4).astype(np.uint8)
+
+
 def _normal_matrix(world: np.ndarray) -> np.ndarray:
     return np.linalg.inv(world[:3, :3]).T
 
 
 def pack_tri_shade(tri_nrm, tri_tan, tri_uv, tri_pos) -> np.ndarray:
     """(T, 28) per-triangle shading row: vertex normals, tangents, uvs,
-    geometric normal (from winding, for the backface flip)."""
+    geometric normal (from winding, for the backface flip), and the
+    uv-per-world density used for mip lod selection (col 27)."""
     t = len(tri_nrm)
     out = np.zeros((t, 28), np.float32)
     if t:
         out[:, 0:9] = np.asarray(tri_nrm, np.float32).reshape(t, 9)
         out[:, 9:18] = np.asarray(tri_tan, np.float32).reshape(t, 9)
-        out[:, 18:24] = np.asarray(tri_uv, np.float32).reshape(t, 6)
+        uv = np.asarray(tri_uv, np.float32)
+        out[:, 18:24] = uv.reshape(t, 6)
         p = np.asarray(tri_pos, np.float32)
-        out[:, 24:27] = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+        gn = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+        out[:, 24:27] = gn
+        world_area = 0.5 * np.linalg.norm(gn, axis=-1)
+        duv1 = uv[:, 1] - uv[:, 0]
+        duv2 = uv[:, 2] - uv[:, 0]
+        uv_area = 0.5 * np.abs(duv1[:, 0] * duv2[:, 1]
+                               - duv1[:, 1] * duv2[:, 0])
+        out[:, 27] = np.sqrt(
+            uv_area / np.maximum(world_area, 1e-20)).astype(np.float32)
     return out
 
 
@@ -161,22 +191,32 @@ def flatten_scene(scene: Scene, env_cube: np.ndarray | None = None) -> FlatScene
                       mat.emission_texture]
         mat_flags[i] = int(mat.flags)
 
-    # Texture pool.
+    # Texture pool with per-texture mip chains.
     if scene.textures:
         offsets, sizes, chunks = [], [], []
         total = 0
         for tex in scene.textures:
             h, w = tex.shape[:2]
-            offsets.append(total)
             sizes.append((w, h))
-            chunks.append(tex.reshape(-1, 4))
-            total += w * h
+            mip_offsets = []
+            level = tex
+            for m in range(MAX_TEX_MIPS):
+                mip_offsets.append(total)
+                chunks.append(level.reshape(-1, 4))
+                total += level.shape[0] * level.shape[1]
+                if level.shape[0] == 1 and level.shape[1] == 1:
+                    # Repeat the last offset for the remaining slots.
+                    mip_offsets += [mip_offsets[-1]] * (
+                        MAX_TEX_MIPS - m - 1)
+                    break
+                level = _downsample2(level)
+            offsets.append(mip_offsets[:MAX_TEX_MIPS])
         atlas = np.concatenate(chunks)
         tex_offset = np.asarray(offsets, np.int32)
         tex_size = np.asarray(sizes, np.int32)
     else:
         atlas = np.zeros((1, 4), np.uint8)
-        tex_offset = np.zeros((1,), np.int32)
+        tex_offset = np.zeros((1, MAX_TEX_MIPS), np.int32)
         tex_size = np.ones((1, 2), np.int32)
 
     # Lights, padded to the reference's fixed UBO size (Common.h:4).

@@ -7,14 +7,24 @@ from steeljax.render.texture import sample_bilinear
 
 
 def _pool(*images):
+    """Build a (mip-chained) texel pool like scene.flatten does."""
+    from steeljax.scene.flatten import MAX_TEX_MIPS, _downsample2
     offsets, sizes, chunks = [], [], []
     total = 0
     for img in images:
         h, w = img.shape[:2]
-        offsets.append(total)
         sizes.append((w, h))
-        chunks.append(img.reshape(-1, 4))
-        total += w * h
+        mips = []
+        level = img
+        for m in range(MAX_TEX_MIPS):
+            mips.append(total)
+            chunks.append(level.reshape(-1, 4))
+            total += level.shape[0] * level.shape[1]
+            if level.shape[0] == 1 and level.shape[1] == 1:
+                mips += [mips[-1]] * (MAX_TEX_MIPS - m - 1)
+                break
+            level = _downsample2(level)
+        offsets.append(mips[:MAX_TEX_MIPS])
     return (jnp.asarray(np.concatenate(chunks)),
             jnp.asarray(np.array(offsets, np.int32)),
             jnp.asarray(np.array(sizes, np.int32)))
@@ -63,3 +73,22 @@ def test_second_texture_offset():
     got_b = np.asarray(sample_bilinear(atlas, off, size, jnp.asarray([1]), uv))
     np.testing.assert_allclose(got_a, 10 / 255.0, atol=1e-6)
     np.testing.assert_allclose(got_b, 250 / 255.0, atol=1e-6)
+
+
+def test_trilinear_mip_blend():
+    from steeljax.render.texture import sample_trilinear
+    img = np.zeros((4, 4, 4), np.uint8)
+    img[:, :2] = 0
+    img[:, 2:] = 200
+    atlas, off, size = _pool(img)
+    uv = jnp.asarray([[0.5, 0.5]], jnp.float32)
+    tid = jnp.asarray([0])
+    lod0 = np.asarray(sample_trilinear(atlas, off, size, tid, uv,
+                                       jnp.asarray([0.0])))[0, 0]
+    lod2 = np.asarray(sample_trilinear(atlas, off, size, tid, uv,
+                                       jnp.asarray([2.0])))[0, 0]
+    # Fully minified: the 1x1 mip is the average (100/255).
+    assert abs(lod2 - 100 / 255) < 0.02
+    mid = np.asarray(sample_trilinear(atlas, off, size, tid, uv,
+                                      jnp.asarray([1.0])))[0, 0]
+    assert 0.0 <= mid <= 1.0
