@@ -158,7 +158,9 @@ def _align_leaves(nodes: np.ndarray, perm: np.ndarray, leaf_size: int,
     aligned_counts = -(-counts[order_of_leaves] // align) * align
     new_starts_sorted = np.concatenate(
         [[0], np.cumsum(aligned_counts)[:-1]])
-    total = int(aligned_counts.sum())
+    # One extra max-size leaf of pad slack so fixed-size leaf reads
+    # (max_leaf rows) from the last leaf never run past the arrays.
+    total = int(aligned_counts.sum()) + leaf_size
 
     new_order = np.full(total, -1, np.int64)
     new_starts = np.empty(len(leaf_idx), np.int64)

@@ -326,6 +326,9 @@ def _traverse_kernel8(snodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
         @pl.when(entry >= 0)
         def _supernode():
             row = snodes_ref[entry]  # (128,)
+            big = jnp.float32(3.0e38)
+            keys = []
+            vals = []
             for c in range(8):
                 off = 16 * c
                 t0x = (row[off + 0] - ox[:]) * inv_dx
@@ -345,17 +348,35 @@ def _traverse_kernel8(snodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
                 hit = (near <= far) & (far >= tmn[:]) & (near <= bt_ref[:])
                 meta0 = row[off + 6].astype(jnp.int32)
                 meta1 = row[off + 7].astype(jnp.int32)
-                hit_any = jnp.any(hit)
-
-                # Branchless push: write the would-be entry to the next
-                # slot and advance sp only when the packet hit a valid
-                # child (no predicated regions in the hot loop).
+                # Packet-min entry distance doubles as the hit predicate
+                # (< big) and the ordering key for near-first descent.
+                near_min = jnp.min(jnp.where(hit, near, big))
                 is_leaf_child = meta1 > 0
                 enc = (meta0 // 8) | (meta1 << _LEAF_BITS)
                 entry_val = jnp.where(is_leaf_child, -(enc + 1), meta0)
-                do_push = hit_any & (meta0 >= 0)
+                keys.append(jnp.where(meta0 >= 0, near_min, big))
+                vals.append(entry_val)
+
+            # Descending-key sorting network (Batcher, 19 CEs): nearest
+            # child is pushed LAST, so LIFO pops it first — ordered
+            # traversal tightens best_t early and prunes the rest.
+            network = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
+                       (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (1, 5),
+                       (2, 6), (3, 7), (2, 4), (3, 5), (1, 2), (3, 4),
+                       (5, 6)]
+            for i, j in network:
+                swap = keys[i] < keys[j]
+                ki = jnp.where(swap, keys[j], keys[i])
+                kj = jnp.where(swap, keys[i], keys[j])
+                vi = jnp.where(swap, vals[j], vals[i])
+                vj = jnp.where(swap, vals[i], vals[j])
+                keys[i], keys[j] = ki, kj
+                vals[i], vals[j] = vi, vj
+
+            for c in range(8):
+                do_push = keys[c] < big
                 s = sp_ref[0]
-                stack_ref[s] = entry_val
+                stack_ref[s] = vals[c]
                 sp_ref[0] = s + do_push.astype(jnp.int32)
 
         @pl.when(entry < 0)

@@ -128,3 +128,34 @@ def test_empty_scene():
                         jnp.zeros((4, 3)), jnp.asarray([[0.0, 0.0, 1.0]] * 4),
                         0.001, 1000.0)
     assert not bool(np.asarray(rec["hit"]).any())
+
+
+def test_sah_aligned_leaves_match_brute_force():
+    """Regression: the SAH builder's 8-aligned leaf layout must not lose
+    hits at array boundaries (the last leaf's fixed-size read needs pad
+    slack)."""
+    from steeljax.scene.builtin import make_cornell_scene
+    from steeljax.scene.flatten import flatten_scene
+
+    scene = make_cornell_scene(sphere_detail=6)
+    flat = flatten_scene(scene)
+    tris = np.asarray(flat.tri_pos)
+    ds = np.asarray(flat.tri_double_sided)
+    result = build_bvh(tris, leaf_size=24, method="auto")
+    perm = apply_permutation(result, {"p": tris, "d": ds})
+    bvh = result[0]
+    tp, tds = jnp.asarray(perm["p"]), jnp.asarray(perm["d"])
+
+    r = np.random.default_rng(5)
+    n = 512
+    o = r.uniform(-4.5, 4.5, (n, 3)).astype(np.float32)  # inside the box
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    a = trace_nearest(bvh, tp, tds, jnp.asarray(o), jnp.asarray(d),
+                      0.001, 1000.0, cull_backface=False)
+    b = trace_nearest_brute(tp, tds, jnp.asarray(o), jnp.asarray(d),
+                            0.001, 1000.0, cull_backface=False)
+    np.testing.assert_array_equal(np.asarray(a["hit"]), np.asarray(b["hit"]))
+    np.testing.assert_allclose(np.asarray(a["t"]), np.asarray(b["t"]),
+                               atol=1e-4)
