@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from steeljax.accel.bvh import BVH
 
 LANES = 128
-SUBLANES = 8
+SUBLANES = 32  # default packet = 4096 rays: fewer scalar pops per ray
 BLOCK = LANES * SUBLANES  # rays per packet
 
 _DET_EPS = 1e-12
@@ -445,12 +445,15 @@ def _traverse_kernel8(snodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_leaf", "depth", "cull_backface", "any_hit"))
+    static_argnames=("max_leaf", "depth", "cull_backface", "any_hit",
+                     "packet_sublanes"))
 def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
                    max_leaf: int, depth: int,
-                   cull_backface: bool, any_hit: bool = False):
+                   cull_backface: bool, any_hit: bool = False,
+                   packet_sublanes: int = SUBLANES):
     count = o.shape[0]
-    padded = -(-count // BLOCK) * BLOCK
+    block = LANES * packet_sublanes
+    padded = -(-count // block) * block
     pad = padded - count
 
     def prep(x, fill=0.0):
@@ -466,8 +469,8 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
     comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tmn, tmx]
     comps = [c.reshape(rows, LANES) for c in comps]
 
-    grid = (rows // SUBLANES,)
-    ray_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+    grid = (rows // packet_sublanes,)
+    ray_spec = pl.BlockSpec((packet_sublanes, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -490,10 +493,10 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
         scratch_shapes=[
             pltpu.SMEM((8 * depth + 16,), jnp.int32),  # encoded stack
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((SUBLANES, LANES), jnp.float32),
-            pltpu.VMEM((SUBLANES, LANES), jnp.float32),
-            pltpu.VMEM((SUBLANES, LANES), jnp.float32),
-            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((packet_sublanes, LANES), jnp.float32),
+            pltpu.VMEM((packet_sublanes, LANES), jnp.float32),
+            pltpu.VMEM((packet_sublanes, LANES), jnp.float32),
+            pltpu.VMEM((packet_sublanes, LANES), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
@@ -509,9 +512,11 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
 
 def trace_nearest_packet8(bvh8, tris_packed, o, d, t_min, t_max,
                           cull_backface: bool = True,
-                          any_hit: bool = False):
+                          any_hit: bool = False,
+                          packet_sublanes: int = SUBLANES):
     """BVH8 packet traversal; same contract as traverse.trace_nearest."""
     return _trace_packed8(bvh8.rows, tris_packed, o, d,
                           jnp.asarray(t_min, jnp.float32),
                           jnp.asarray(t_max, jnp.float32),
-                          bvh8.max_leaf, bvh8.depth, cull_backface, any_hit)
+                          bvh8.max_leaf, bvh8.depth, cull_backface, any_hit,
+                          packet_sublanes=packet_sublanes)
