@@ -193,9 +193,15 @@ def unpack_material(scene: FlatScene, rec, ray_d):
     vw = v[..., None]
     normal = _normalize(shade[:, 0:3] * w + shade[:, 3:6] * uw
                         + shade[:, 6:9] * vw)
-    tangent = _normalize(shade[:, 9:12] * w + shade[:, 12:15] * uw
-                         + shade[:, 15:18] * vw)
-    uv = shade[:, 18:20] * w + shade[:, 20:22] * uw + shade[:, 22:24] * vw
+    if scene.has_textures:
+        tangent = _normalize(shade[:, 9:12] * w + shade[:, 12:15] * uw
+                             + shade[:, 15:18] * vw)
+        uv = (shade[:, 18:20] * w + shade[:, 20:22] * uw
+              + shade[:, 22:24] * vw)
+    else:
+        # Tangents feed normal mapping and uvs feed texture fetches only.
+        tangent = jnp.zeros_like(normal)
+        uv = jnp.zeros(normal.shape[:-1] + (2,), normal.dtype)
 
     # Backface flip (ClosestHit.rchit:67-70): hit-kind is winding-based,
     # i.e. the Moller-Trumbore determinant sign.
@@ -232,8 +238,11 @@ def unpack_material(scene: FlatScene, rec, ray_d):
         tbn = tuple(
             jnp.where(has_nm[..., None], a, b) for a, b in zip(tbn_nm, tbn))
 
-    base_rgb, b_idx = tex_rgb(0, uv)
-    base_color = to_linear(mrow[:, 0:3] * base_rgb)
+    if scene.has_textures:
+        base_rgb, _ = tex_rgb(0, uv)
+        base_color = to_linear(mrow[:, 0:3] * base_rgb)
+    else:
+        base_color = mrow[:, 13:16]  # ToLinear(factor) precomputed
 
     if scene.has_textures:
         rm_idx = scene.mat_tex[mat, 1]
@@ -247,8 +256,11 @@ def unpack_material(scene: FlatScene, rec, ray_d):
         roughness = mrow[:, 7]
         metallic = mrow[:, 8]
 
-    em_rgb, _ = tex_rgb(4, uv)
-    emission = to_linear(mrow[:, 4:7] * em_rgb)
+    if scene.has_textures:
+        em_rgb, _ = tex_rgb(4, uv)
+        emission = to_linear(mrow[:, 4:7] * em_rgb)
+    else:
+        emission = scene.mat_emission_linear[mat]
 
     surface = brdf_lib.make_surface(base_color, roughness, metallic, emission)
     return surface, tbn

@@ -57,10 +57,13 @@ class FlatScene:
     # Gather-packed shading tables (one row read per hit instead of many
     # small gathers — the hot path of unpack_material):
     # tri_shade: [n0 n1 n2 (9), t0 t1 t2 (9), uv0 uv1 uv2 (6), geom_n (3),
-    #             pad] = 28 cols; mat_packed: [base_color (4), emission (3),
-    # rough, metal, normal_scale, occlusion, alpha_cutoff, flags, pad...]
+    #             uv_density] = 28 cols; mat_packed: [base rgba (4),
+    # emission (3), rough/metal/nscale/occl/cutoff (7:12), flags (12),
+    # linear base rgb (13:16)].
     tri_shade: jnp.ndarray   # (T, 28) float32
     mat_packed: jnp.ndarray  # (M, 16) float32
+    # Emission in linear space (ToLinear(factor) precomputed).
+    mat_emission_linear: jnp.ndarray  # (M, 3) float32
 
     # Static (trace-time) metadata.
     light_count: int = struct.field(pytree_node=False, default=0)
@@ -119,14 +122,24 @@ def pack_tri_shade(tri_nrm, tri_tan, tri_uv, tri_pos) -> np.ndarray:
     return out
 
 
+def _to_linear_np(srgb):
+    srgb = np.asarray(srgb, np.float32)
+    return np.where(srgb < 0.04045, srgb / 12.92,
+                    ((srgb + 0.055) / 1.055) ** 2.4).astype(np.float32)
+
+
 def pack_materials(mat_base_color, mat_emission, mat_params,
                    mat_flags) -> np.ndarray:
+    """Columns: base rgba (0:4), emission (4:7), rough/metal/nscale/occl/
+    cutoff (7:12), flags (12), linearized base rgb (13:16) — precomputed
+    ToLinear(factor) so untextured scenes skip the sRGB pow entirely."""
     m = len(mat_base_color)
     out = np.zeros((m, 16), np.float32)
     out[:, 0:4] = mat_base_color
     out[:, 4:7] = mat_emission
     out[:, 7:12] = mat_params
     out[:, 12] = np.asarray(mat_flags, np.float32)
+    out[:, 13:16] = _to_linear_np(mat_base_color[:, :3])
     return out
 
 
@@ -258,6 +271,7 @@ def flatten_scene(scene: Scene, env_cube: np.ndarray | None = None) -> FlatScene
         env_cube=jnp.asarray(env_cube),
         tri_shade=jnp.asarray(tri_shade),
         mat_packed=jnp.asarray(mat_packed),
+        mat_emission_linear=jnp.asarray(_to_linear_np(mat_emission)),
         light_count=int(light_count),
         env_enabled=bool(env_enabled),
         any_alpha_test=bool(any_alpha_test),
