@@ -91,7 +91,8 @@ def generate_light_volume(flat, tables, spp: int = 8,
                           config: RenderConfig | None = None) -> LightVolume:
     positions = probes_lib.generate_probe_positions(
         np.asarray(flat.tri_pos), min_edge=min_edge, max_probes=max_probes)
-    vertices, neighbors, matrices = tets_lib.tetrahedralize(positions)
+    vertices, neighbors, matrices, positions = tets_lib.tetrahedralize(
+        positions)
     if len(positions) == 0 or len(vertices) == 0:
         return LightVolume(
             positions=jnp.zeros((0, 3)), tet_vertices=jnp.zeros((0, 4),

@@ -55,6 +55,12 @@ def _find_tet(lv, p):
     valid = tet >= 0
     tet_safe = jnp.maximum(tet, 0)
     bary = _bary(lv, tet_safe, p)
+    # Ping-pong/step-limit endings can leave slightly negative
+    # coordinates; clamp + renormalize instead of extrapolating (the
+    # reference interpolates whatever it stopped on — this is strictly
+    # more robust for sliver tets).
+    bary = jnp.maximum(bary, 0.0)
+    bary = bary / jnp.maximum(bary.sum(), 1e-8)
     return tet_safe, bary, valid
 
 
@@ -68,7 +74,8 @@ def sample_light_volume(lv, position: jnp.ndarray,
         verts = lv.tet_vertices[tet]                    # (4,)
         coeffs = lv.coefficients[verts]                 # (4, 9, 3)
         blended = jnp.einsum("k,kic->ic", bary, coeffs)
-        irr = eval_irradiance(blended, normal)
+        # SH-9 ringing can go negative; irradiance is non-negative.
+        irr = jnp.maximum(eval_irradiance(blended, normal), 0.0)
         return jnp.where(valid, irr, 0.0)
 
     if lv.tet_vertices.shape[0] == 0:

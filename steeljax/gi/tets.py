@@ -15,7 +15,9 @@ import numpy as np
 
 def tetrahedralize(positions: np.ndarray):
     """Returns (vertices (T, 4) int32, neighbors (T, 4) int32 with -1 at
-    hull faces, matrices (T, 3, 3) float32).
+    hull faces, matrices (T, 3, 3) float32, positions_used (P, 3) float32
+    — the possibly-jittered coordinates the matrices are built from; use
+    these as the volume's probe positions).
 
     scipy neighbor convention: neighbors[i, k] is the tet opposite vertex
     k of tet i — the same convention the GLSL walk expects (hop across the
@@ -27,8 +29,18 @@ def tetrahedralize(positions: np.ndarray):
     positions = np.asarray(positions, np.float64)
     if len(positions) < 4:
         return (np.zeros((0, 4), np.int32), np.zeros((0, 4), np.int32),
-                np.zeros((0, 3, 3), np.float32))
+                np.zeros((0, 3, 3), np.float32),
+                positions.astype(np.float32))
 
+    # Octree-corner probes are exactly cospherical/cogrid — a worst case
+    # for Delaunay (sliver tets, ambiguous neighbors, and tets whose
+    # un-jittered vertices are coplanar).  A deterministic sub-millimeter
+    # jitter breaks the degeneracy; the jittered coordinates are used
+    # consistently for the mesh, matrices, and probe positions.
+    rng = np.random.default_rng(0x5EED)
+    scale = max(float(positions.max() - positions.min()), 1.0)
+    positions = positions + rng.uniform(-1e-5, 1e-5,
+                                        positions.shape) * scale
     tri = Delaunay(positions)
     simplices = tri.simplices.astype(np.int32)          # (T, 4)
     neighbors = tri.neighbors.astype(np.int32)          # (T, 4), -1 hull
@@ -43,7 +55,8 @@ def tetrahedralize(positions: np.ndarray):
     safe = np.where(ok[:, None, None], basis, np.eye(3)[None])
     inv = np.linalg.inv(safe)
     inv[~ok] = 0.0
-    return simplices, neighbors, inv.astype(np.float32)
+    return simplices, neighbors, inv.astype(np.float32), \
+        positions.astype(np.float32)
 
 
 def barycentric(positions: np.ndarray, vertices: np.ndarray,

@@ -99,7 +99,10 @@ def compute_indirect_lighting(env: Environment, position, n, v, nov,
         from steeljax.gi.sample import sample_light_volume
         irradiance = sample_light_volume(light_volume, position, n)
         env_irradiance = sample_cube(env.irradiance, n)
-        specular_norm = irradiance / jnp.maximum(env_irradiance, 1e-6)
+        # The reference divides raw (Lighting.glsl:252); bound the ratio so
+        # near-zero env irradiance cannot blow up the specular term.
+        specular_norm = jnp.clip(
+            irradiance / jnp.maximum(env_irradiance, 1e-4), 0.0, 8.0)
     else:
         irradiance = sample_cube(env.irradiance, n)
         specular_norm = jnp.ones_like(irradiance)

@@ -32,14 +32,14 @@ def test_probe_positions_cover_geometry():
 def test_tetrahedralize_unit_cube():
     corners = np.array([[x, y, z] for x in (0, 1) for y in (0, 1)
                         for z in (0, 1)], np.float64)
-    vertices, neighbors, matrices = tets.tetrahedralize(corners)
+    vertices, neighbors, matrices, used = tets.tetrahedralize(corners)
     assert len(vertices) >= 5
     # Barycentric coords of each tet's own centroid are all positive.
     for t in range(len(vertices)):
-        centroid = corners[vertices[t]].mean(axis=0)
-        bary = tets.barycentric(corners, vertices, matrices, t, centroid)
-        np.testing.assert_allclose(bary, 0.25, atol=1e-5)
-        np.testing.assert_allclose(bary.sum(), 1.0, atol=1e-5)
+        centroid = used[vertices[t]].mean(axis=0)
+        bary = tets.barycentric(used, vertices, matrices, t, centroid)
+        np.testing.assert_allclose(bary, 0.25, atol=2e-3)
+        np.testing.assert_allclose(bary.sum(), 1.0, atol=1e-3)
 
 
 def test_sh_projection_constant_radiance():
@@ -71,12 +71,12 @@ def test_sh_basis_orthogonality():
 def _walk_volume():
     corners = np.array([[x, y, z] for x in (0, 2) for y in (0, 2)
                         for z in (0, 2)], np.float64)
-    vertices, neighbors, matrices = tets.tetrahedralize(corners)
+    vertices, neighbors, matrices, used = tets.tetrahedralize(corners)
     coeffs = np.zeros((8, 9, 3), np.float32)
     # Encode each probe's x coordinate in its DC term.
-    coeffs[:, 0, :] = corners[:, :1].astype(np.float32) / 0.886227
+    coeffs[:, 0, :] = used[:, :1].astype(np.float32) / 0.886227
     return LightVolume(
-        positions=jnp.asarray(corners, jnp.float32),
+        positions=jnp.asarray(used, jnp.float32),
         tet_vertices=jnp.asarray(vertices),
         tet_neighbors=jnp.asarray(neighbors),
         tet_matrices=jnp.asarray(matrices),
