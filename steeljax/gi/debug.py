@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from steeljax.core.constants import PI
-
 
 def overlay_probes(image: np.ndarray, light_volume, view_proj: np.ndarray,
                    radius_px: int = 3) -> np.ndarray:

@@ -11,8 +11,6 @@ probes interpolate barycentrically before the Ramamoorthi evaluation.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

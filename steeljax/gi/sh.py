@@ -8,13 +8,11 @@ the Ramamoorthi-Hanrahan irradiance polynomial.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from steeljax.core.constants import PI, SH_COEFFICIENT_COUNT
+from steeljax.core.constants import PI
 from steeljax.env.cubemap import sample_cube
 
 SAMPLE_DELTA = 0.05  # LightVolume.comp:10

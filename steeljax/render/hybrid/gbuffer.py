@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from steeljax.accel.dispatch import TraceTables, trace_nearest
 from steeljax.render.pt import brdf as brdf_lib
 from steeljax.render.pt.integrator import _interp, _normalize
-from steeljax.render.texture import sample_bilinear, sample_trilinear
+from steeljax.render.texture import sample_trilinear
 from steeljax.scene.flatten import FlatScene
 from steeljax.scene.material import MaterialFlags
 

@@ -21,7 +21,7 @@ from steeljax.core.constants import (BIAS, DIELECTRIC_F0, EPSILON, RAY_MAX_T,
                                      RAY_MIN_T)
 from steeljax.env.cubemap import sample_cube
 from steeljax.env.environment import Environment
-from steeljax.env.ibl import sample_cube_lod, sample_lut
+from steeljax.env.ibl import sample_lut
 from steeljax.render.pt import brdf as brdf_lib
 from steeljax.render.pt.integrator import _normalize, trace_visibility
 from steeljax.scene.flatten import FlatScene

@@ -20,7 +20,6 @@ from steeljax.env.environment import Environment, load_environment
 from steeljax.render.hybrid.forward import forward_stage
 from steeljax.render.hybrid.gbuffer import generate_gbuffer
 from steeljax.render.hybrid.lighting import deferred_lighting
-from steeljax.render.pt.integrator import primary_rays
 from steeljax.render.pt.renderer import prepare_scene
 from steeljax.scene.scene import Scene
 

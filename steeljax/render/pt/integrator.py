@@ -32,7 +32,7 @@ from steeljax.core import rng
 from steeljax.core.colors import luminance, to_linear
 from steeljax.core.config import RenderConfig
 from steeljax.core.constants import (
-    BIAS, DIRECT_LIGHT_DISK_RADIUS, EPSILON, MAX_LIGHT_COUNT, PI,
+    BIAS, DIRECT_LIGHT_DISK_RADIUS, EPSILON, PI,
     POINT_LIGHT_RADIUS, RAY_MAX_T, RAY_MIN_T)
 from steeljax.env.cubemap import sample_cube
 from steeljax.render.pt import brdf as brdf_lib
