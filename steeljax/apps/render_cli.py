@@ -38,11 +38,17 @@ def main(argv=None) -> int:
     from steeljax.scene import load_scene
     from steeljax.scene.builtin import make_cornell_scene
 
-    width, height = (int(v) for v in args.size.split("x"))
+    try:
+        width, height = (int(v) for v in args.size.split("x"))
+    except ValueError:
+        parser.error(f"--size must be WIDTHxHEIGHT, got {args.size!r}")
 
     if args.scene == "builtin:cornell":
         scene = make_cornell_scene()
     else:
+        from pathlib import Path
+        if not Path(args.scene).exists():
+            parser.error(f"scene not found: {args.scene}")
         scene = load_scene(args.scene)
 
     config = RenderConfig(width=width, height=height,
