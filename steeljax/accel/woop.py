@@ -17,6 +17,10 @@ the transform-based triangle test used in its ray core.]
 Packed layout (T, 16) f32:
   [r0.xyz, r1.xyz, r2.xyz, b.xyz, double_sided, pad, pad, pad]
 where r_i are the rows of A^-1 and b = A^-1 v0.
+
+Status: kept as the building block for a future MXU-contraction leaf
+kernel (the round-1 experiment was layout-bound — see
+memory: steeljax-perf-landscape); not wired into the dispatch path.
 """
 
 from __future__ import annotations
