@@ -23,6 +23,8 @@ def main(argv=None) -> int:
     parser.add_argument("--spp", type=int, default=16,
                         help="accumulated samples per pixel")
     parser.add_argument("--mode", choices=["pt", "hybrid"], default="pt")
+    parser.add_argument("--gi", action="store_true",
+                        help="bake + use the light-volume GI (hybrid mode)")
     parser.add_argument("--hdr", action="store_true",
                         help="skip tone mapping (linear output)")
     parser.add_argument("--cpu", action="store_true",
@@ -62,6 +64,8 @@ def main(argv=None) -> int:
     else:
         from steeljax.render.hybrid.renderer import HybridRenderer
         renderer = HybridRenderer(scene, width, height, config)
+        if args.gi:
+            renderer.bake_light_volume()
         image = renderer.render_frame()
     print(f"rendered {args.mode} {width}x{height} spp={args.spp} "
           f"in {time.time() - t0:.1f}s", file=sys.stderr)
