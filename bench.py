@@ -25,7 +25,7 @@ def main() -> None:
 
     from steeljax.core import camera as camera_lib
     from steeljax.core.config import RenderConfig
-    from steeljax.render.pt.integrator import render_pixels
+    from steeljax.render.pt.integrator import render_pixels, tiled_order
     from steeljax.render.pt.renderer import prepare_scene
     from steeljax.scene.builtin import make_cornell_scene
 
@@ -38,10 +38,7 @@ def main() -> None:
                                   scene.camera_projection)
     config = RenderConfig(width=width, height=height)
 
-    ys, xs = np.meshgrid(np.arange(height, dtype=np.int32),
-                         np.arange(width, dtype=np.int32), indexing="ij")
-    px = jnp.asarray(xs.reshape(-1))
-    py = jnp.asarray(ys.reshape(-1))
+    px, py, _ = tiled_order(width, height)
     inverse_view = jnp.asarray(frame.inverse_view)
     inverse_proj = jnp.asarray(frame.inverse_proj)
 

@@ -34,27 +34,7 @@ def sample_cube(cube: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
     normalized).  Returns (..., 3).
     """
     res = cube.shape[1]
-    d = direction
-    ax = jnp.abs(d[..., 0])
-    ay = jnp.abs(d[..., 1])
-    az = jnp.abs(d[..., 2])
-
-    # Face selection by dominant axis (ties break toward x, then y).
-    is_x = (ax >= ay) & (ax >= az)
-    is_y = (~is_x) & (ay >= az)
-    face = jnp.where(
-        is_x, jnp.where(d[..., 0] >= 0, 0, 1),
-        jnp.where(is_y, jnp.where(d[..., 1] >= 0, 2, 3),
-                  jnp.where(d[..., 2] >= 0, 4, 5))).astype(jnp.int32)
-
-    n = jnp.asarray(CUBE_FACES_N)[face]
-    t = jnp.asarray(CUBE_FACES_T)[face]
-    b = jnp.asarray(CUBE_FACES_B)[face]
-
-    denom = jnp.sum(d * n, axis=-1)
-    denom = jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
-    x = jnp.sum(d * t, axis=-1) / denom
-    y = jnp.sum(d * b, axis=-1) / denom
+    face, x, y = _cube_face_uv(direction)
 
     u = (x + 1.0) * 0.5 * res - 0.5
     v = (y + 1.0) * 0.5 * res - 0.5
@@ -78,6 +58,70 @@ def sample_cube(cube: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
     c11 = fetch(u1i, v1i)
     top = c00 * (1 - fu) + c10 * fu
     bot = c01 * (1 - fu) + c11 * fu
+    return top * (1 - fv) + bot * fv
+
+
+def pack_cube_quads(cube: np.ndarray) -> np.ndarray:
+    """Pack a (6, R, R, 3) cube into bilinear-footprint rows (6*R*R, 16):
+    row (f*R + v)*R + u = [c(u,v), c(u+1,v), c(u,v+1), c(u+1,v+1), pad*4]
+    with edge-clamped neighbors.  One TPU row gather then covers the whole
+    2x2 bilinear footprint — per-texel gathers are ~10x slower on TPU."""
+    cube = np.asarray(cube, np.float32)
+    faces, res = cube.shape[0], cube.shape[1]
+    right = cube[:, :, np.minimum(np.arange(res) + 1, res - 1)]
+    down = cube[:, np.minimum(np.arange(res) + 1, res - 1)]
+    down_right = down[:, :, np.minimum(np.arange(res) + 1, res - 1)]
+    quads = np.zeros((faces, res, res, 16), np.float32)
+    quads[..., 0:3] = cube
+    quads[..., 3:6] = right
+    quads[..., 6:9] = down
+    quads[..., 9:12] = down_right
+    return quads.reshape(faces * res * res, 16)
+
+
+def _cube_face_uv(direction):
+    """Shared face-selection + in-face coordinate math; returns
+    (face int32, x, y) with x/y in [-1, 1]."""
+    d = direction
+    ax = jnp.abs(d[..., 0])
+    ay = jnp.abs(d[..., 1])
+    az = jnp.abs(d[..., 2])
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (~is_x) & (ay >= az)
+    face = jnp.where(
+        is_x, jnp.where(d[..., 0] >= 0, 0, 1),
+        jnp.where(is_y, jnp.where(d[..., 1] >= 0, 2, 3),
+                  jnp.where(d[..., 2] >= 0, 4, 5))).astype(jnp.int32)
+    n = jnp.asarray(CUBE_FACES_N)[face]
+    t = jnp.asarray(CUBE_FACES_T)[face]
+    b = jnp.asarray(CUBE_FACES_B)[face]
+    denom = jnp.sum(d * n, axis=-1)
+    denom = jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+    x = jnp.sum(d * t, axis=-1) / denom
+    y = jnp.sum(d * b, axis=-1) / denom
+    return face, x, y
+
+
+def sample_cube_quads(quads: jnp.ndarray, direction: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """Bilinear samplerCube lookup over a pack_cube_quads table.  Matches
+    sample_cube exactly (same clamp-to-edge semantics)."""
+    res = int(round((quads.shape[0] // 6) ** 0.5))
+    face, x, y = _cube_face_uv(direction)
+    u = (x + 1.0) * 0.5 * res - 0.5
+    v = (y + 1.0) * 0.5 * res - 0.5
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    # Clamp-to-edge parity with sample_cube: below-range quads collapse to
+    # the edge texel by zeroing the fraction (the precomputed quad already
+    # clamps the +1 neighbors at the far edge).
+    fu = jnp.where(u0 < 0, 0.0, u - u0)[..., None]
+    fv = jnp.where(v0 < 0, 0.0, v - v0)[..., None]
+    u0i = jnp.clip(u0.astype(jnp.int32), 0, res - 1)
+    v0i = jnp.clip(v0.astype(jnp.int32), 0, res - 1)
+    row = quads[(face * res + v0i) * res + u0i]      # (..., 16)
+    top = row[..., 0:3] * (1 - fu) + row[..., 3:6] * fu
+    bot = row[..., 6:9] * (1 - fu) + row[..., 9:12] * fu
     return top * (1 - fv) + bot * fv
 
 
@@ -128,23 +172,7 @@ def _sample_flat_level(data, offsets, sizes, level, face, x, y):
 
 def sample_flat_mips(data, offsets, sizes, direction, lod):
     """Trilinear samplerCube lookup over a packed mip chain."""
-    d = direction
-    ax = jnp.abs(d[..., 0])
-    ay = jnp.abs(d[..., 1])
-    az = jnp.abs(d[..., 2])
-    is_x = (ax >= ay) & (ax >= az)
-    is_y = (~is_x) & (ay >= az)
-    face = jnp.where(
-        is_x, jnp.where(d[..., 0] >= 0, 0, 1),
-        jnp.where(is_y, jnp.where(d[..., 1] >= 0, 2, 3),
-                  jnp.where(d[..., 2] >= 0, 4, 5))).astype(jnp.int32)
-    n = jnp.asarray(CUBE_FACES_N)[face]
-    t = jnp.asarray(CUBE_FACES_T)[face]
-    b = jnp.asarray(CUBE_FACES_B)[face]
-    denom = jnp.sum(d * n, axis=-1)
-    denom = jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
-    x = jnp.sum(d * t, axis=-1) / denom
-    y = jnp.sum(d * b, axis=-1) / denom
+    face, x, y = _cube_face_uv(direction)
 
     count = sizes.shape[0]
     lod = jnp.clip(lod, 0.0, count - 1)

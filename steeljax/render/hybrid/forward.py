@@ -18,18 +18,20 @@ from steeljax.accel.dispatch import TraceTables, trace_nearest
 from steeljax.core.colors import to_linear, tone_map
 from steeljax.env.cubemap import sample_cube
 from steeljax.env.environment import Environment
+from steeljax.render.hybrid.gbuffer import _interp_cols
 from steeljax.render.hybrid.lighting import (compute_direct_lighting,
                                              compute_indirect_lighting)
 from steeljax.render.pt import brdf as brdf_lib
-from steeljax.render.pt.integrator import _interp, _normalize
+from steeljax.render.pt.integrator import _normalize
 from steeljax.render.texture import sample_bilinear
 from steeljax.scene.flatten import FlatScene
 from steeljax.scene.material import MaterialFlags
 
 
 def _is_blend(scene: FlatScene, tri):
-    mat = scene.tri_mat[jnp.maximum(tri, 0)]
-    return (scene.mat_flags[mat] & int(MaterialFlags.ALPHA_BLEND)) != 0
+    row = scene.tri_shade[jnp.maximum(tri, 0)]
+    return (row[:, 40].astype(jnp.int32)
+            & int(MaterialFlags.ALPHA_BLEND)) != 0
 
 
 def trace_blend(scene: FlatScene, tables: TraceTables, o, d, t_min, t_max,
@@ -57,50 +59,49 @@ def shade_forward(scene: FlatScene, tables: TraceTables, env: Environment,
     (linear color (N, 3), alpha (N,))."""
     tri = jnp.maximum(rec["tri"], 0)
     u, v_bar = rec["u"], rec["v"]
-    mat = scene.tri_mat[tri]
+    shade = scene.tri_shade[tri]                     # one row gather
     p = o + d * rec["t"][..., None]
-    uv = _interp(scene.tri_uv, tri, u, v_bar)
+    uv = _interp_cols(shade, 18, u, v_bar, width=2)
 
-    normal = _normalize(_interp(scene.tri_nrm, tri, u, v_bar))
-    tangent = _normalize(_interp(scene.tri_tan, tri, u, v_bar))
+    normal = _normalize(_interp_cols(shade, 0, u, v_bar))
+    tangent = _normalize(_interp_cols(shade, 9, u, v_bar))
     view = _normalize(camera_position - p)
 
-    ds_mat = (scene.mat_flags[mat] & int(MaterialFlags.DOUBLE_SIDED)) != 0
+    flags = shade[:, 40].astype(jnp.int32)
+    ds_mat = (flags & int(MaterialFlags.DOUBLE_SIDED)) != 0
     flip = ds_mat & (jnp.sum(normal * view, axis=-1) < 0.0)
     normal = jnp.where(flip[..., None], -normal, normal)
 
-    n_idx = scene.mat_tex[mat, 2]
+    n_idx = shade[:, 43].astype(jnp.int32)
     ns = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
                          n_idx, uv)[..., :3] * 2.0 - 1.0
-    scale = scene.mat_params[mat, 2]
+    scale = shade[:, 39]
     ns = _normalize(ns * jnp.stack([scale, scale, jnp.ones_like(scale)], -1))
     tbn = brdf_lib.make_tbn_with_tangent(normal, tangent)
     mapped = _normalize(brdf_lib.tangent_to_world(ns, tbn))
     normal = jnp.where((n_idx >= 0)[..., None], mapped, normal)
 
-    def tex(slot):
-        idx = scene.mat_tex[mat, slot]
+    def tex(slot_col):
+        idx = shade[:, slot_col].astype(jnp.int32)
         s = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
                             idx, uv)
         return s, idx >= 0
 
-    base_s, has_base = tex(0)
-    base_raw = scene.mat_base_color[mat, :3] * jnp.where(
+    base_s, has_base = tex(41)
+    base_raw = shade[:, 46:49] * jnp.where(
         has_base[..., None], base_s[..., :3], 1.0)
-    alpha = scene.mat_base_color[mat, 3] * jnp.where(has_base,
-                                                     base_s[..., 3], 1.0)
+    alpha = shade[:, 35] * jnp.where(has_base, base_s[..., 3], 1.0)
     base_color = to_linear(base_raw)
 
-    rm_s, has_rm = tex(1)
-    roughness = scene.mat_params[mat, 0] * jnp.where(has_rm, rm_s[..., 1], 1.0)
-    metallic = scene.mat_params[mat, 1] * jnp.where(has_rm, rm_s[..., 2], 1.0)
+    rm_s, has_rm = tex(42)
+    roughness = shade[:, 36] * jnp.where(has_rm, rm_s[..., 1], 1.0)
+    metallic = shade[:, 37] * jnp.where(has_rm, rm_s[..., 2], 1.0)
 
-    occ_s, has_occ = tex(3)
-    occlusion = scene.mat_params[mat, 3] * jnp.where(has_occ,
-                                                     occ_s[..., 0], 1.0)
+    occ_s, has_occ = tex(44)
+    occlusion = shade[:, 52] * jnp.where(has_occ, occ_s[..., 0], 1.0)
 
-    em_s, has_em = tex(4)
-    emission = to_linear(scene.mat_emission[mat] * jnp.where(
+    em_s, has_em = tex(45)
+    emission = to_linear(shade[:, 49:52] * jnp.where(
         has_em[..., None], em_s[..., :3], 1.0))
 
     f0 = 0.04 + (base_color - 0.04) * metallic[..., None]

@@ -12,16 +12,22 @@ depths so banding matches the raster pipeline.
 Alpha-blend materials are skipped (they belong to the forward stage,
 GBufferStage.cpp:147-157); alpha-test materials discard below the cutoff
 like the fragment shader's ALPHA_TEST path.
+
+All per-hit attributes and material constants come from ONE tri_shade row
+gather (layout in scene.flatten.FlatScene) — on TPU each extra small
+gather costs ~10 ms/Mray, so the material table is denormalized per
+triangle.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from steeljax.accel.dispatch import TraceTables, trace_nearest
 from steeljax.render.pt import brdf as brdf_lib
-from steeljax.render.pt.integrator import _interp, _normalize
-from steeljax.render.texture import sample_trilinear
+from steeljax.render.pt.integrator import _normalize
+from steeljax.render.texture import sample_bilinear, sample_trilinear
 from steeljax.scene.flatten import FlatScene
 from steeljax.scene.material import MaterialFlags
 
@@ -31,39 +37,59 @@ def _quantize(x, bits: int):
     return jnp.round(jnp.clip(x, 0.0, 1.0) * levels) / levels
 
 
-def _material_flag(scene: FlatScene, tri, flag: MaterialFlags):
-    mat = scene.tri_mat[jnp.maximum(tri, 0)]
-    return (scene.mat_flags[mat] & int(flag)) != 0
+def _interp_cols(row, base: int, u, v, width: int = 3):
+    """Barycentric interpolation of a per-vertex attribute stored as three
+    consecutive `width`-column blocks of a tri_shade row."""
+    w = (1.0 - u - v)[..., None]
+    return (row[:, base:base + width] * w
+            + row[:, base + width:base + 2 * width] * u[..., None]
+            + row[:, base + 2 * width:base + 3 * width] * v[..., None])
+
+
+def _opaque_rejected(scene: FlatScene, rec):
+    """hit & (alpha-blend | alpha-test-discard): surfaces invisible to the
+    G-buffer (they belong to the forward stage)."""
+    row = scene.tri_shade[jnp.maximum(rec["tri"], 0)]
+    flags = row[:, 40].astype(jnp.int32)
+    blend = (flags & int(MaterialFlags.ALPHA_BLEND)) != 0
+    atest = (flags & int(MaterialFlags.ALPHA_TEST)) != 0
+    alpha = row[:, 35]
+    if scene.has_textures:
+        uv = _interp_cols(row, 18, rec["u"], rec["v"], width=2)
+        tex = row[:, 41].astype(jnp.int32)
+        sampled = sample_bilinear(scene.atlas, scene.tex_offset,
+                                  scene.tex_size, tex, uv)[..., 3]
+        alpha = alpha * jnp.where(tex >= 0, sampled, 1.0)
+    return rec["hit"] & (blend | (atest & (alpha < row[:, 38])))
 
 
 def trace_opaque(scene: FlatScene, tables: TraceTables, o, d, t_min, t_max,
                  max_retrace: int):
     """Nearest opaque hit: skips alpha-blend surfaces entirely and
-    alpha-test texels below the cutoff (forward-stage geometry is invisible
-    to the G-buffer)."""
-    from steeljax.render.pt.integrator import _alpha_at
-
+    alpha-test texels below the cutoff.  Re-trace passes run only for
+    rejected rays and are skipped outright (lax.cond) when nothing was
+    rejected — opaque scenes pay one reduction, not max_retrace traces."""
     rec = trace_nearest(tables, scene.tri_pos, scene.tri_double_sided, o, d,
                         t_min, t_max, cull_backface=True)
+    if not (scene.any_alpha_blend or scene.any_alpha_test):
+        return rec
     tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
 
-    def rejected_mask(rec):
-        blend = _material_flag(scene, rec["tri"], MaterialFlags.ALPHA_BLEND)
-        atest = _material_flag(scene, rec["tri"], MaterialFlags.ALPHA_TEST)
-        cutoff = scene.mat_params[
-            scene.tri_mat[jnp.maximum(rec["tri"], 0)], 4]
-        cut = atest & (_alpha_at(scene, rec["tri"], rec["u"], rec["v"])
-                       < cutoff)
-        return rec["hit"] & (blend | cut)
+    def retrace_pass(rec):
+        rejected = _opaque_rejected(scene, rec)
+
+        def do_retrace(rec):
+            rec2 = trace_nearest(
+                tables, scene.tri_pos, scene.tri_double_sided, o, d,
+                rec["t"] + 1e-4, jnp.where(rejected, tmax, -1.0),
+                cull_backface=True)
+            return {k: jnp.where(rejected, rec2[k], rec[k]) for k in rec}
+
+        return jax.lax.cond(jnp.any(rejected), do_retrace, lambda r: r, rec)
 
     for _ in range(max_retrace):
-        rejected = rejected_mask(rec)
-        rec2 = trace_nearest(tables, scene.tri_pos, scene.tri_double_sided,
-                             o, d, rec["t"] + 1e-4, tmax,
-                             cull_backface=True)
-        rec = {k: jnp.where(rejected, rec2[k], rec[k]) for k in rec}
-
-    final_reject = rejected_mask(rec)
+        rec = retrace_pass(rec)
+    final_reject = _opaque_rejected(scene, rec)
     rec["hit"] = rec["hit"] & ~final_reject
     rec["tri"] = jnp.where(rec["hit"], rec["tri"], -1)
     rec["t"] = jnp.where(rec["hit"], rec["t"], -1.0)
@@ -80,69 +106,69 @@ def generate_gbuffer(scene: FlatScene, tables: TraceTables, o, d,
     rec = trace_opaque(scene, tables, o, d, t_min, t_max, max_retrace)
     tri = jnp.maximum(rec["tri"], 0)
     u, v = rec["u"], rec["v"]
-    mat = scene.tri_mat[tri]
     hit = rec["hit"]
 
+    shade = scene.tri_shade[tri]                     # (N, 56)
     p = o + d * rec["t"][..., None]
-    uv = _interp(scene.tri_uv, tri, u, v)
-    normal = _normalize(_interp(scene.tri_nrm, tri, u, v))
-    tangent = _normalize(_interp(scene.tri_tan, tri, u, v))
+    uv = _interp_cols(shade, 18, u, v, width=2)
+    normal = _normalize(_interp_cols(shade, 0, u, v))
+    tangent = _normalize(_interp_cols(shade, 9, u, v))
 
     # Mip lod from the ray footprint (the raster pipeline's implicit
     # derivatives): world footprint ~ t * pixel spread / cos(incidence),
     # converted to texels with the per-triangle uv density.
-    shade = scene.tri_shade[tri]
     geom_n = _normalize(shade[:, 24:27])
     cos_inc = jnp.maximum(jnp.abs(jnp.sum(geom_n * d, axis=-1)), 0.3)
     uv_density = shade[:, 27]
     footprint_uv = (rec["t"] * pixel_spread / cos_inc) * uv_density
     base_lod = jnp.log2(jnp.maximum(footprint_uv, 1e-20))
 
+    flags = shade[:, 40].astype(jnp.int32)
+
     # DOUBLE_SIDED: FaceForward toward the viewer (Material.glsl:33-38).
     view = _normalize(camera_position - p)
-    ds_mat = (scene.mat_flags[mat] & int(MaterialFlags.DOUBLE_SIDED)) != 0
+    ds_mat = (flags & int(MaterialFlags.DOUBLE_SIDED)) != 0
     flip = ds_mat & (jnp.sum(normal * view, axis=-1) < 0.0)
     normal = jnp.where(flip[..., None], -normal, normal)
 
+    def tex_width(idx):
+        return jnp.maximum(
+            scene.tex_size[jnp.maximum(idx, 0)][..., 0], 1)
+
     # NORMAL_MAPPING (Material.glsl:40-47).
-    n_idx = scene.mat_tex[mat, 2]
+    n_idx = shade[:, 43].astype(jnp.int32)
     has_nm = n_idx >= 0
-    nm_width = jnp.maximum(scene.tex_size[jnp.maximum(n_idx, 0), 0], 1)
-    nm_lod = base_lod + jnp.log2(nm_width.astype(jnp.float32))
+    nm_lod = base_lod + jnp.log2(tex_width(n_idx).astype(jnp.float32))
     ns = sample_trilinear(scene.atlas, scene.tex_offset, scene.tex_size,
                           n_idx, uv, nm_lod)[..., :3] * 2.0 - 1.0
-    scale = scene.mat_params[mat, 2]
+    scale = shade[:, 39]
     ns = _normalize(ns * jnp.stack([scale, scale, jnp.ones_like(scale)],
                                    axis=-1))
     tbn = brdf_lib.make_tbn_with_tangent(normal, tangent)
     mapped = _normalize(brdf_lib.tangent_to_world(ns, tbn))
     normal = jnp.where(has_nm[..., None], mapped, normal)
 
-    def tex_sample(slot):
-        idx = scene.mat_tex[mat, slot]
-        width = jnp.maximum(scene.tex_size[jnp.maximum(idx, 0), 0], 1)
-        lod = base_lod + jnp.log2(width.astype(jnp.float32))
+    def tex_sample(slot_col):
+        idx = shade[:, slot_col].astype(jnp.int32)
+        lod = base_lod + jnp.log2(tex_width(idx).astype(jnp.float32))
         s = sample_trilinear(scene.atlas, scene.tex_offset, scene.tex_size,
                              idx, uv, lod)
         return s, idx >= 0
 
-    base_tex, has_base = tex_sample(0)
-    base_color = scene.mat_base_color[mat, :3] * jnp.where(
+    base_tex, has_base = tex_sample(41)
+    base_color = shade[:, 46:49] * jnp.where(
         has_base[..., None], base_tex[..., :3], 1.0)
 
-    em_tex, has_em = tex_sample(4)
-    emission = scene.mat_emission[mat] * jnp.where(
+    em_tex, has_em = tex_sample(45)
+    emission = shade[:, 49:52] * jnp.where(
         has_em[..., None], em_tex[..., :3], 1.0)
 
-    rm_tex, has_rm = tex_sample(1)
-    roughness = scene.mat_params[mat, 0] * jnp.where(has_rm, rm_tex[..., 1],
-                                                     1.0)
-    metallic = scene.mat_params[mat, 1] * jnp.where(has_rm, rm_tex[..., 2],
-                                                    1.0)
+    rm_tex, has_rm = tex_sample(42)
+    roughness = shade[:, 36] * jnp.where(has_rm, rm_tex[..., 1], 1.0)
+    metallic = shade[:, 37] * jnp.where(has_rm, rm_tex[..., 2], 1.0)
 
-    occ_tex, has_occ = tex_sample(3)
-    occlusion = scene.mat_params[mat, 3] * jnp.where(has_occ,
-                                                     occ_tex[..., 0], 1.0)
+    occ_tex, has_occ = tex_sample(44)
+    occlusion = shade[:, 52] * jnp.where(has_occ, occ_tex[..., 0], 1.0)
 
     # Reverse-z NDC depth from the (already reverse-depth) projection.
     clip = jnp.einsum("ij,nj->ni", view_proj,

@@ -25,6 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from steeljax.accel.dispatch import TraceTables
 from steeljax.accel.dispatch import trace_any, trace_nearest
@@ -34,7 +35,7 @@ from steeljax.core.config import RenderConfig
 from steeljax.core.constants import (
     BIAS, DIRECT_LIGHT_DISK_RADIUS, EPSILON, PI,
     POINT_LIGHT_RADIUS, RAY_MAX_T, RAY_MIN_T)
-from steeljax.env.cubemap import sample_cube
+from steeljax.env.cubemap import sample_cube_quads
 from steeljax.render.pt import brdf as brdf_lib
 from steeljax.render.texture import sample_bilinear
 from steeljax.scene.flatten import FlatScene
@@ -78,32 +79,24 @@ def primary_rays(inverse_view, inverse_proj, width, height, px, py, seed,
 # Hit shading inputs (ClosestHit.rchit + UnpackMaterial, RayGen.rgen:72-115)
 # ---------------------------------------------------------------------------
 
-def _interp(attr, tri, u, v):
-    """Barycentric interpolation of a per-vertex triangle attribute.
-
-    attr: (T, 3, C); tri: (N,); u/v: (N,)."""
-    rows = attr[jnp.maximum(tri, 0)]
-    w = (1.0 - u - v)[..., None]
-    return (rows[:, 0] * w + rows[:, 1] * u[..., None]
-            + rows[:, 2] * v[..., None])
-
-
-def _alpha_at(scene: FlatScene, tri, u, v):
-    """Base-color alpha at a hit (AnyHit.rahit:35-52)."""
-    mat = scene.tri_mat[jnp.maximum(tri, 0)]
-    alpha = scene.mat_base_color[mat, 3]
-    if not scene.has_textures:
-        return alpha
-    tex = scene.mat_tex[mat, 0]
-    uv = _interp(scene.tri_uv, tri, u, v)
-    sampled = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
-                              tex, uv)[..., 3]
-    return alpha * jnp.where(tex >= 0, sampled, 1.0)
-
-
-def _is_alpha_test(scene: FlatScene, tri):
-    mat = scene.tri_mat[jnp.maximum(tri, 0)]
-    return (scene.mat_flags[mat] & int(MaterialFlags.ALPHA_TEST)) != 0
+def _alpha_rejected(scene: FlatScene, rec):
+    """hit & alpha-test & alpha < cutoff at a hit (AnyHit.rahit:35-52).
+    One tri_shade row gather covers flags, cutoff, alpha factor, base
+    texture id, and the uv triangle."""
+    row = scene.tri_shade[jnp.maximum(rec["tri"], 0)]
+    flags = row[:, 40].astype(jnp.int32)
+    is_alpha_test = (flags & int(MaterialFlags.ALPHA_TEST)) != 0
+    alpha = row[:, 35]
+    if scene.has_textures:
+        u, v = rec["u"], rec["v"]
+        w = (1.0 - u - v)[..., None]
+        uv = (row[:, 18:20] * w + row[:, 20:22] * u[..., None]
+              + row[:, 22:24] * v[..., None])
+        tex = row[:, 41].astype(jnp.int32)
+        sampled = sample_bilinear(scene.atlas, scene.tex_offset,
+                                  scene.tex_size, tex, uv)[..., 3]
+        alpha = alpha * jnp.where(tex >= 0, sampled, 1.0)
+    return rec["hit"] & is_alpha_test & (alpha < row[:, 38])
 
 
 def trace_material_ray(scene: FlatScene, tables: TraceTables, o, d,
@@ -138,25 +131,31 @@ def trace_material_ray(scene: FlatScene, tables: TraceTables, o, d,
     if not scene.any_alpha_test:
         return rec
 
+    # Bounded any-hit loop, gated: each pass re-traces ONLY rays whose
+    # current hit was alpha-rejected (others get an inverted interval and
+    # cost the packets nothing), and the whole pass is skipped via lax.cond
+    # when no ray was rejected — so alpha scenes pay ~one cheap reduction,
+    # not max_alpha_retrace full traversals, on bounces with no rejections.
     tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
+
+    def retrace_pass(rec):
+        rejected = _alpha_rejected(scene, rec)
+
+        def do_retrace(rec):
+            new_tmin = rec["t"] + 1e-4
+            rec2 = trace_nearest(
+                tables, scene.tri_pos, scene.tri_double_sided, o, d,
+                new_tmin, jnp.where(rejected, tmax, -1.0),
+                cull_backface=cull_backface)
+            return {k: jnp.where(rejected, rec2[k], rec[k]) for k in rec}
+
+        return jax.lax.cond(jnp.any(rejected), do_retrace, lambda r: r, rec)
+
     for _ in range(max_alpha_retrace):
-        cutoff = scene.mat_params[scene.tri_mat[jnp.maximum(rec["tri"], 0)], 4]
-        rejected = (rec["hit"] & _is_alpha_test(scene, rec["tri"])
-                    & (_alpha_at(scene, rec["tri"], rec["u"], rec["v"])
-                       < cutoff))
-        new_tmin = rec["t"] + 1e-4
-        rec2 = trace_nearest(tables, scene.tri_pos, scene.tri_double_sided,
-                             o, d, new_tmin, tmax,
-                             cull_backface=cull_backface)
-        rec = {
-            k: jnp.where(rejected, rec2[k], rec[k]) for k in rec
-        }
+        rec = retrace_pass(rec)
     # Hits that are still alpha-rejected after the bounded loop count as
     # misses (conservative vs the reference's exhaustive walk).
-    cutoff = scene.mat_params[scene.tri_mat[jnp.maximum(rec["tri"], 0)], 4]
-    final_reject = (rec["hit"] & _is_alpha_test(scene, rec["tri"])
-                    & (_alpha_at(scene, rec["tri"], rec["u"], rec["v"])
-                       < cutoff))
+    final_reject = _alpha_rejected(scene, rec)
     rec["hit"] = rec["hit"] & ~final_reject
     rec["tri"] = jnp.where(rec["hit"], rec["tri"], -1)
     rec["t"] = jnp.where(rec["hit"], rec["t"], -1.0)
@@ -180,14 +179,14 @@ def unpack_material(scene: FlatScene, rec, ray_d):
     """ClosestHit attribute interpolation + UnpackMaterial
     (RayGen.rgen:72-115).  Returns (surface dict, tbn).
 
-    All per-triangle attributes come from one packed row read
-    (FlatScene.tri_shade) and material constants from another
-    (mat_packed) — one gather each instead of eight."""
+    EVERYTHING — vertex attributes AND the owning material's constants —
+    comes from ONE packed row read (FlatScene.tri_shade); on TPU each
+    additional small gather costs ~10 ms/Mray while one wide row gather is
+    near bandwidth, so the material table is denormalized per triangle."""
     tri = jnp.maximum(rec["tri"], 0)
     u, v = rec["u"], rec["v"]
-    mat = scene.tri_mat[tri]
 
-    shade = scene.tri_shade[tri]                     # (N, 28)
+    shade = scene.tri_shade[tri]                     # (N, 48)
     w = (1.0 - u - v)[..., None]
     uw = u[..., None]
     vw = v[..., None]
@@ -209,13 +208,10 @@ def unpack_material(scene: FlatScene, rec, ray_d):
     backface = jnp.sum(geom_n * ray_d, axis=-1) > 0.0
     normal = jnp.where(backface[..., None], -normal, normal)
 
-    mrow = scene.mat_packed[mat]                     # (N, 16)
-
-    def tex_rgb(slot, uv):
+    def tex_rgb(slot_col, uv):
+        idx = shade[:, slot_col].astype(jnp.int32)
         if not scene.has_textures:
-            idx = scene.mat_tex[mat, slot]
             return jnp.ones(uv.shape[:-1] + (3,), jnp.float32), idx
-        idx = scene.mat_tex[mat, slot]
         sample = sample_bilinear(scene.atlas, scene.tex_offset,
                                  scene.tex_size, idx, uv)
         return jnp.where((idx >= 0)[..., None], sample[..., :3], 1.0), idx
@@ -225,11 +221,11 @@ def unpack_material(scene: FlatScene, rec, ray_d):
     # branch).  Skipped statically for untextured scenes.
     tbn = brdf_lib.make_tbn(normal)
     if scene.has_textures:
-        n_idx = scene.mat_tex[mat, 2]
+        n_idx = shade[:, 43].astype(jnp.int32)
         has_nm = n_idx >= 0
         ns = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
                              n_idx, uv)[..., :3] * 2.0 - 1.0
-        scale = mrow[:, 9]
+        scale = shade[:, 39]
         ns = _normalize(ns * jnp.stack(
             [scale, scale, jnp.ones_like(scale)], axis=-1))
         tbn_t = brdf_lib.make_tbn_with_tangent(normal, tangent)
@@ -239,28 +235,28 @@ def unpack_material(scene: FlatScene, rec, ray_d):
             jnp.where(has_nm[..., None], a, b) for a, b in zip(tbn_nm, tbn))
 
     if scene.has_textures:
-        base_rgb, _ = tex_rgb(0, uv)
-        base_color = to_linear(mrow[:, 0:3] * base_rgb)
+        base_rgb, _ = tex_rgb(41, uv)
+        base_color = to_linear(shade[:, 46:49] * base_rgb)
     else:
-        base_color = mrow[:, 13:16]  # ToLinear(factor) precomputed
+        base_color = shade[:, 32:35]  # ToLinear(factor) precomputed
 
     if scene.has_textures:
-        rm_idx = scene.mat_tex[mat, 1]
+        rm_idx = shade[:, 42].astype(jnp.int32)
         rm = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
                              rm_idx, uv)
         rough_tex = jnp.where(rm_idx >= 0, rm[..., 1], 1.0)
         metal_tex = jnp.where(rm_idx >= 0, rm[..., 2], 1.0)
-        roughness = mrow[:, 7] * rough_tex
-        metallic = mrow[:, 8] * metal_tex
+        roughness = shade[:, 36] * rough_tex
+        metallic = shade[:, 37] * metal_tex
     else:
-        roughness = mrow[:, 7]
-        metallic = mrow[:, 8]
+        roughness = shade[:, 36]
+        metallic = shade[:, 37]
 
     if scene.has_textures:
-        em_rgb, _ = tex_rgb(4, uv)
-        emission = to_linear(mrow[:, 4:7] * em_rgb)
+        em_rgb, _ = tex_rgb(45, uv)
+        emission = to_linear(shade[:, 49:52] * em_rgb)
     else:
-        emission = scene.mat_emission_linear[mat]
+        emission = shade[:, 29:32]
 
     surface = brdf_lib.make_surface(base_color, roughness, metallic, emission)
     return surface, tbn
@@ -445,7 +441,7 @@ def trace_paths(scene: FlatScene, tables: TraceTables, o, d, seed,
             # compaction).
             t_max = jnp.where(alive, RAY_MAX_T, -1.0)
 
-    irradiance = irradiance + sample_cube(scene.env_cube, env_dir) \
+    irradiance = irradiance + sample_cube_quads(scene.env_quads, env_dir) \
         * env_weight
     clamped = jnp.minimum(irradiance, config.max_irradiance)
     return clamped, seed, rays_traced
@@ -488,6 +484,25 @@ def render_pixels(scene: FlatScene, tables: TraceTables,
     return result
 
 
+@functools.lru_cache(maxsize=32)
+def tiled_order(width: int, height: int):
+    """Pixel traversal order grouping rays into screen tiles so traversal
+    packets are spatially compact (the ThreadGroupTiling analog,
+    ThreadGroupTiling.glsl:19-70): a 4096-ray packet covers a 64x16 block
+    instead of a 1280x3 strip, shrinking the BVH node set it touches.
+    Returns (px, py, inverse) or None when the extent doesn't tile."""
+    for tw, th in ((64, 16), (128, 8), (32, 16), (16, 16)):
+        if width % tw == 0 and height % th == 0:
+            idx = np.arange(width * height, dtype=np.int32).reshape(
+                height, width)
+            order = idx.reshape(height // th, th, width // tw,
+                                tw).transpose(0, 2, 1, 3).reshape(-1)
+            inverse = np.argsort(order).astype(np.int32)
+            return (jnp.asarray(order % width), jnp.asarray(order // width),
+                    jnp.asarray(inverse))
+    return None
+
+
 def render_sample(scene: FlatScene, tables: TraceTables,
                   inverse_view, inverse_proj,
                   camera_near, camera_far, width: int, height: int,
@@ -495,6 +510,14 @@ def render_sample(scene: FlatScene, tables: TraceTables,
                   config: RenderConfig = RenderConfig(),
                   render_to_cube: bool = False):
     """Full-frame convenience wrapper around render_pixels; (H, W, 3)."""
+    tiled = tiled_order(width, height)
+    if tiled is not None:
+        px, py, inverse = tiled
+        result = render_pixels(
+            scene, tables, inverse_view, inverse_proj, camera_near,
+            camera_far, width, height, px, py,
+            accumulation_index, sample_index, config, render_to_cube)
+        return result[inverse].reshape(height, width, 3)
     ys, xs = jnp.meshgrid(jnp.arange(height, dtype=jnp.int32),
                           jnp.arange(width, dtype=jnp.int32), indexing="ij")
     result = render_pixels(

@@ -22,9 +22,16 @@ def _bilinear_level(atlas, tex_offset, tex_size, tex_id, uv, level):
     """
     tid = jnp.maximum(tex_id, 0)
     level = jnp.clip(level, 0, tex_offset.shape[1] - 1)
-    w = jnp.maximum(tex_size[tid, 0] >> level, 1)
-    h = jnp.maximum(tex_size[tid, 1] >> level, 1)
-    off = tex_offset[tid, level]
+    # Row gathers (then static/arithmetic column selects): TPU XLA row
+    # gathers run near bandwidth while per-element gathers cost ~10x.
+    size_row = tex_size[tid]                       # (..., 2)
+    w = jnp.maximum(size_row[..., 0] >> level, 1)
+    h = jnp.maximum(size_row[..., 1] >> level, 1)
+    off_row = tex_offset[tid]                      # (..., M)
+    if isinstance(level, int) or getattr(level, "ndim", 0) == 0:
+        off = off_row[..., level]
+    else:
+        off = jnp.take_along_axis(off_row, level[..., None], axis=-1)[..., 0]
 
     x = uv[..., 0] * w.astype(jnp.float32) - 0.5
     y = uv[..., 1] * h.astype(jnp.float32) - 0.5

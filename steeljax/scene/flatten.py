@@ -54,16 +54,35 @@ class FlatScene:
     # Environment cubemap (+X -X +Y -Y +Z -Z), linear RGB.
     env_cube: jnp.ndarray  # (6, R, R, 3) float32
 
-    # Gather-packed shading tables (one row read per hit instead of many
-    # small gathers — the hot path of unpack_material):
-    # tri_shade: [n0 n1 n2 (9), t0 t1 t2 (9), uv0 uv1 uv2 (6), geom_n (3),
-    #             uv_density] = 28 cols; mat_packed: [base rgba (4),
-    # emission (3), rough/metal/nscale/occl/cutoff (7:12), flags (12),
-    # linear base rgb (13:16)].
-    tri_shade: jnp.ndarray   # (T, 28) float32
+    # Gather-packed shading table: EVERYTHING unpack_material needs in ONE
+    # row gather per hit.  TPU XLA row gathers run near memory bandwidth
+    # (~4 ms for (1M, 48) on v5e) while each extra 1-d gather costs ~8 ms,
+    # so material constants are denormalized per triangle (rebuilt on
+    # reflatten, the analog of the reference's materials-dirty re-upload,
+    # SceneRenderer.cpp:119-144).  Layout (48 cols):
+    #   0:9    vertex normals       9:18  vertex tangents
+    #   18:24  vertex uvs           24:27 geometric normal
+    #   27     uv density (mip lod) 28    material id
+    #   29:32  emission (linear)    32:35 base color factor (linear)
+    #   35     base alpha factor    36    roughness factor
+    #   37     metallic factor      38    alpha cutoff
+    #   39     normal scale         40    material flags
+    #   41:46  texture ids (base, roughMetal, normal, occlusion, emission)
+    #   46:49  base color factor (raw, for ToLinear(factor*texel) parity)
+    #   49:52  emission factor (raw)   52    occlusion strength
+    tri_shade: jnp.ndarray   # (T, 56) float32
+    # Legacy per-material rows for the hybrid/raster consumers:
+    # mat_packed: [base rgba (4), emission (3), rough/metal/nscale/occl/
+    # cutoff (7:12), flags (12), linear base rgb (13:16)].
     mat_packed: jnp.ndarray  # (M, 16) float32
     # Emission in linear space (ToLinear(factor) precomputed).
     mat_emission_linear: jnp.ndarray  # (M, 3) float32
+
+    # Bilinear-footprint-packed environment cubemap: row (f*R+v)*R+u holds
+    # the 2x2 texel quad [c(u,v), c(u+1,v), c(u,v+1), c(u+1,v+1)] with
+    # edge-clamped neighbors, so a samplerCube lookup is ONE row gather
+    # instead of four scalar-ish gathers (37 ms -> ~4 ms at 720p).
+    env_quads: jnp.ndarray  # (6*R*R, 16) float32
 
     # Static (trace-time) metadata.
     light_count: int = struct.field(pytree_node=False, default=0)
@@ -98,12 +117,15 @@ def _normal_matrix(world: np.ndarray) -> np.ndarray:
     return np.linalg.inv(world[:3, :3]).T
 
 
-def pack_tri_shade(tri_nrm, tri_tan, tri_uv, tri_pos) -> np.ndarray:
-    """(T, 28) per-triangle shading row: vertex normals, tangents, uvs,
-    geometric normal (from winding, for the backface flip), and the
-    uv-per-world density used for mip lod selection (col 27)."""
+def pack_tri_shade(tri_nrm, tri_tan, tri_uv, tri_pos, tri_mat=None,
+                   mat_base_color=None, mat_emission=None, mat_params=None,
+                   mat_tex=None, mat_flags=None) -> np.ndarray:
+    """(T, 48) per-triangle shading row (layout in FlatScene docstring):
+    vertex attributes plus the owning material's constants denormalized in,
+    so a hit shades from a single row gather.  Material args may be omitted
+    for geometry-only consumers (tests)."""
     t = len(tri_nrm)
-    out = np.zeros((t, 28), np.float32)
+    out = np.zeros((t, 56), np.float32)
     if t:
         out[:, 0:9] = np.asarray(tri_nrm, np.float32).reshape(t, 9)
         out[:, 9:18] = np.asarray(tri_tan, np.float32).reshape(t, 9)
@@ -119,6 +141,23 @@ def pack_tri_shade(tri_nrm, tri_tan, tri_uv, tri_pos) -> np.ndarray:
                                - duv1[:, 1] * duv2[:, 0])
         out[:, 27] = np.sqrt(
             uv_area / np.maximum(world_area, 1e-20)).astype(np.float32)
+        if tri_mat is not None:
+            m = np.asarray(tri_mat, np.int64)
+            out[:, 28] = m.astype(np.float32)
+            out[:, 29:32] = _to_linear_np(np.asarray(mat_emission))[m]
+            base = np.asarray(mat_base_color, np.float32)[m]
+            out[:, 32:35] = _to_linear_np(base[:, :3])
+            out[:, 35] = base[:, 3]
+            params = np.asarray(mat_params, np.float32)[m]
+            out[:, 36] = params[:, 0]   # roughness
+            out[:, 37] = params[:, 1]   # metallic
+            out[:, 38] = params[:, 4]   # alpha cutoff
+            out[:, 39] = params[:, 2]   # normal scale
+            out[:, 40] = np.asarray(mat_flags, np.float32)[m]
+            out[:, 41:46] = np.asarray(mat_tex, np.float32)[m]
+            out[:, 46:49] = base[:, :3]
+            out[:, 49:52] = np.asarray(mat_emission, np.float32)[m]
+            out[:, 52] = params[:, 3]   # occlusion strength
     return out
 
 
@@ -250,9 +289,14 @@ def flatten_scene(scene: Scene, env_cube: np.ndarray | None = None) -> FlatScene
     any_alpha_blend = any(
         bool(f & MaterialFlags.ALPHA_BLEND) for f in mat_flags)
 
-    tri_shade = pack_tri_shade(tri_nrm, tri_tan, tri_uv, tri_pos)
+    tri_shade = pack_tri_shade(tri_nrm, tri_tan, tri_uv, tri_pos, tri_mat,
+                               mat_base_color, mat_emission, mat_params,
+                               mat_tex, mat_flags)
     mat_packed = pack_materials(mat_base_color, mat_emission, mat_params,
                                 mat_flags)
+
+    from steeljax.env.cubemap import pack_cube_quads
+    env_quads = pack_cube_quads(np.asarray(env_cube, np.float32))
 
     return FlatScene(
         tri_pos=jnp.asarray(tri_pos), tri_nrm=jnp.asarray(tri_nrm),
@@ -272,6 +316,7 @@ def flatten_scene(scene: Scene, env_cube: np.ndarray | None = None) -> FlatScene
         tri_shade=jnp.asarray(tri_shade),
         mat_packed=jnp.asarray(mat_packed),
         mat_emission_linear=jnp.asarray(_to_linear_np(mat_emission)),
+        env_quads=jnp.asarray(env_quads),
         light_count=int(light_count),
         env_enabled=bool(env_enabled),
         any_alpha_test=bool(any_alpha_test),
