@@ -27,6 +27,9 @@ def main(argv=None) -> int:
                         help="bake + use the light-volume GI (hybrid mode)")
     parser.add_argument("--hdr", action="store_true",
                         help="skip tone mapping (linear output)")
+    parser.add_argument("--env-color", default=None,
+                        help="constant environment radiance 'R,G,B' (linear)"
+                             " — surrogate for missing panorama assets")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
     args = parser.parse_args(argv)
@@ -52,6 +55,13 @@ def main(argv=None) -> int:
         if not Path(args.scene).exists():
             parser.error(f"scene not found: {args.scene}")
         scene = load_scene(args.scene)
+
+    if args.env_color:
+        try:
+            scene.environment_color = tuple(
+                float(v) for v in args.env_color.split(","))
+        except ValueError:
+            parser.error(f"--env-color must be R,G,B, got {args.env_color!r}")
 
     config = RenderConfig(width=width, height=height,
                           render_to_hdr=args.hdr)

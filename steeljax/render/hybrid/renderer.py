@@ -91,8 +91,14 @@ class HybridRenderer:
         self.height = height
         self.config = config
         self.flat, self.tables = prepared or prepare_scene(scene)
+        env_color = getattr(scene, "environment_color", None)
+        env_cube = None
+        if env_color is not None:
+            import numpy as np
+            env_cube = np.broadcast_to(
+                np.asarray(env_color, np.float32), (6, 64, 64, 3)).copy()
         self.env = environment or load_environment(
-            panorama_path=scene.environment_path)
+            panorama_path=scene.environment_path, cube=env_cube)
         self.light_volume = None
         frame = camera_lib.make_frame(scene.camera_location,
                                       scene.camera_projection,

@@ -101,31 +101,16 @@ def _alpha_rejected(scene: FlatScene, rec):
 
 def trace_material_ray(scene: FlatScene, tables: TraceTables, o, d,
                        t_min, t_max,
-                       cull_backface: bool, max_alpha_retrace: int,
-                       sort_rays: bool = False):
+                       cull_backface: bool, max_alpha_retrace: int):
     """Nearest hit honoring any-hit alpha testing: re-trace past rejected
     hits up to `max_alpha_retrace` times (the reference's unbounded any-hit
     loop is bounded here for static control flow).
 
-    sort_rays=True reorders rays by direction octant before tracing (and
-    scatters results back): secondary bounce rays are direction-incoherent,
-    and octant grouping keeps traversal packets tight — the TPU analog of
-    wavefront ray reordering (SURVEY.md §7, megakernel-vs-wavefront)."""
-    if sort_rays:
-        key = ((d[:, 0] < 0).astype(jnp.int32) * 4
-               + (d[:, 1] < 0).astype(jnp.int32) * 2
-               + (d[:, 2] < 0).astype(jnp.int32))
-        order = jnp.argsort(key, stable=True)
-        inverse = jnp.argsort(order, stable=True)
-        rec = trace_material_ray(
-            scene, tables, o[order], d[order],
-            jnp.broadcast_to(jnp.asarray(t_min, jnp.float32),
-                             (o.shape[0],))[order],
-            jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
-                             (o.shape[0],))[order],
-            cull_backface, max_alpha_retrace, sort_rays=False)
-        return {k: v[inverse] for k, v in rec.items()}
-
+    Ray-reordering experiments (direction-octant argsort, alive-first
+    compaction) were measured and rejected: TPU XLA gathers/scatters cost
+    ~4 ns/row each way, which cancels the packet-coherence win — see the
+    round-2 perf notes.  Tile-ordered pixels (tiled_order) capture most of
+    the coherence for free."""
     rec = trace_nearest(tables, scene.tri_pos, scene.tri_double_sided, o, d,
                         t_min, t_max, cull_backface=cull_backface)
     if not scene.any_alpha_test:

@@ -59,7 +59,11 @@ def prepare_scene(scene: Scene, env_resolution: int = 256,
     Scenes without a loadable panorama get the procedural sky when
     `use_default_environment` (Config::kUseDefaultAssets analog)."""
     env_cube = None
-    if scene.environment_path and Path(scene.environment_path).exists():
+    if getattr(scene, "environment_color", None) is not None:
+        env_cube = np.broadcast_to(
+            np.asarray(scene.environment_color, np.float32),
+            (6, env_resolution, env_resolution, 3)).copy()
+    elif scene.environment_path and Path(scene.environment_path).exists():
         panorama = image_io.load_hdr(scene.environment_path)
         env_cube = np.asarray(panorama_to_cube(panorama, env_resolution))
     elif use_default_environment:

@@ -14,7 +14,8 @@ import numpy as np
 from steeljax.core import camera as camera_lib
 from steeljax.scene.material import Material, MaterialFlags
 from steeljax.scene.primitive import Primitive, make_uv_sphere
-from steeljax.scene.scene import Entity, RenderObject, Scene
+from steeljax.scene.scene import (Entity, Light, LightType, RenderObject,
+                                  Scene)
 
 
 def make_quad(size: float = 10.0) -> Primitive:
@@ -141,6 +142,57 @@ def make_cornell_scene(sphere_detail: int = 12) -> Scene:
     scene.camera_projection = camera_lib.CameraProjection(
         y_fov=0.872664626, width=1.77777, height=1.0,
         z_near=0.01, z_far=100.0)
+    return scene
+
+
+def make_parity_scene(sphere_detail: int = 8) -> Scene:
+    """Single-bounce-dominated scene for the PT-vs-hybrid numeric gate:
+    an open ground plane + matte spheres under one directional light and
+    the sky env.  With no enclosing geometry, multi-bounce transport (the
+    part deferred split-sum lighting cannot represent) is a small fraction
+    of the image, so the two pipelines must agree within a tight RMSE —
+    unlike the emissive-lamp Cornell where hybrid has no light source."""
+    scene = Scene()
+    scene.materials.append(Material(
+        base_color_factor=np.array([0.75, 0.75, 0.75, 1.0], np.float32),
+        emission_factor=np.zeros(4, np.float32),
+        metallic_factor=0.0, roughness_factor=0.9,
+        flags=MaterialFlags.DOUBLE_SIDED))
+    scene.materials.append(Material(
+        base_color_factor=np.array([0.6, 0.3, 0.2, 1.0], np.float32),
+        emission_factor=np.zeros(4, np.float32),
+        metallic_factor=0.0, roughness_factor=0.7,
+        flags=MaterialFlags.NONE))
+    scene.primitives.append(make_quad(20.0))
+    scene.primitives.append(
+        make_uv_sphere(1.0, sphere_detail, sphere_detail * 2))
+
+    half_pi = float(np.pi / 2)
+    scene.add_entity(Entity(
+        name="ground", local_transform=_trs((0, -1, 0), (1, 0, 0), half_pi),
+        render_objects=[RenderObject(0, 0)]))
+    scene.add_entity(Entity(
+        name="sphere", local_transform=_trs((0, 0, 0)),
+        render_objects=[RenderObject(1, 1)]))
+    scene.add_entity(Entity(
+        name="sphere2", local_transform=_trs((2.5, -0.4, -1.0), None, 0.0,
+                                             (0.6, 0.6, 0.6)),
+        render_objects=[RenderObject(1, 0)]))
+
+    # Directional "sun": gather_lights takes -X of the world transform, so
+    # rotate +X onto the desired direction (down-forward-left).
+    sun = Entity(name="sun", local_transform=_trs((0, 0, 0), (0, 0, 1),
+                                                  -2.2))
+    sun.light = Light(type=LightType.DIRECTIONAL,
+                      color=np.array([3.0, 2.9, 2.7], np.float32))
+    scene.add_entity(sun)
+
+    scene.camera_location = camera_lib.CameraLocation(
+        position=np.array([0, 1.2, 6.0], np.float32),
+        direction=np.array([0, -0.15, -1], np.float32),
+        up=camera_lib.UP)
+    scene.camera_projection = camera_lib.CameraProjection(
+        y_fov=0.9, width=1.77777, height=1.0, z_near=0.01, z_far=100.0)
     return scene
 
 

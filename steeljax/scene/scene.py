@@ -79,6 +79,10 @@ class Scene:
         self.camera_location = camera_lib.DEFAULT_LOCATION
         self.camera_projection = camera_lib.DEFAULT_PROJECTION
         self.environment_path: str | None = None
+        # Constant-radiance environment override (linear RGB); used as a
+        # surrogate when a scene's panorama asset is unavailable (e.g. the
+        # reference checkout ships no Assets/Environments).
+        self.environment_color: tuple | None = None
         self.prefabs: dict[str, PrefabInfo] = {}
         # Mutation counter: renderers re-flatten when this advances (the
         # on-demand analog of the reference's every-frame TLAS rebuild).

@@ -73,4 +73,34 @@ def test_rmse_tool(both_images):
     pt_img, hy_img = both_images
     assert rmse(pt_img, pt_img) == 0.0
     value = rmse(pt_img, hy_img)
-    assert 0.0 < value < 0.6
+    # The emissive-lamp Cornell can never match tightly: deferred
+    # split-sum lighting has no light source there (the lamp is emissive
+    # geometry, which only MC transport bounces), so this bound documents
+    # the expected mode gap rather than pipeline health — the tight
+    # numeric gate lives in test_parity_scene_rmse below.
+    assert 0.0 < value < 0.35, f"Cornell PT/hybrid RMSE drifted: {value:.3f}"
+
+
+def test_parity_scene_rmse():
+    """Quantitative PT-vs-hybrid gate on a single-bounce-dominated scene
+    (open ground + spheres + directional sun + sky), where split-sum IBL
+    approximates MC within a few percent.  Measured 0.026 at these
+    settings; a broken BRDF normalization, shadow ray, or IBL bake moves
+    it far past 0.05."""
+    from steeljax.apps.compare import rmse
+    from steeljax.scene.builtin import make_parity_scene
+
+    w, h = 64, 36
+    scene = make_parity_scene()
+    prepared = prepare_scene(scene, env_resolution=16)
+    env = load_environment(
+        cube=np.asarray(prepared[0].env_cube), irradiance_resolution=8,
+        reflection_resolution=16, lut_resolution=16, lut_samples=256,
+        reflection_samples=128, irradiance_delta=0.1)
+    config = RenderConfig(width=w, height=h)
+    pt_img = PathTracingRenderer(scene, w, h, config,
+                                 prepared=prepared).render(64)
+    hy_img = HybridRenderer(scene, w, h, config, environment=env,
+                            prepared=prepared).render_frame()
+    value = rmse(pt_img, hy_img)
+    assert value < 0.05, f"PT/hybrid parity broke: RMSE {value:.4f}"

@@ -1,0 +1,90 @@
+"""Golden-image gate vs the reference's converged gallery renders.
+
+The reference ships converged Cornell renders for visual A/B
+(Gallery/Images/CornellBox_PathTracing.png, CornellBox_Hybrid.png); this
+is the quantitative version (BASELINE.md fidelity gate).  The true
+environment asset (SunnyHills.hdr) is absent from the reference checkout,
+so renders use the constant surrogate env estimated from the gallery's
+own background (docs/golden/README.md documents the estimation and the
+residual analysis); the gate runs on the interior box crop, the pixels
+the renderer governs.
+
+The full-strength gate (more pixels/spp, tighter threshold) is slow on
+the CPU mesh — run it with RUN_SLOW=1.  The default smoke gate still
+fails on any gross regression (camera, tone map, BRDF normalization,
+emission scale, env plumbing).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+GALLERY = REFERENCE / "Gallery/Images/CornellBox_PathTracing.png"
+SCENE = REFERENCE / "Assets/Scenes/CornellBox/CornellBox.gltf"
+
+# Constant surrogate environment radiance (linear RGB), estimated from the
+# gallery background through the inverse filmic tone map.
+SURROGATE_ENV = (0.085, 0.093, 0.097)
+
+pytestmark = pytest.mark.skipif(
+    not (GALLERY.exists() and SCENE.exists()),
+    reason="reference checkout not mounted")
+
+
+def _downscaled_gallery(width, height):
+    from PIL import Image
+
+    img = Image.open(GALLERY).convert("RGB").resize(
+        (width, height), Image.LANCZOS)
+    return np.asarray(img, np.float64) / 255.0
+
+
+def _render(width, height, spp):
+    from steeljax.core.config import RenderConfig
+    from steeljax.render.pt.renderer import PathTracingRenderer, prepare_scene
+    from steeljax.scene import load_scene
+
+    scene = load_scene(str(SCENE))
+    scene.environment_color = SURROGATE_ENV
+    renderer = PathTracingRenderer(
+        scene, width, height, RenderConfig(width=width, height=height),
+        prepared=prepare_scene(scene, env_resolution=16))
+    return np.asarray(renderer.render(spp), np.float64)
+
+
+def _interior(img, width, height):
+    """Projected box region (camera (0,0,16), yfov 50deg, walls at +-5)."""
+    x0, x1 = round(width * 0.233), round(width * 0.767)
+    y0, y1 = round(height * 0.024), round(height * 0.976)
+    return img[y0:y1, x0:x1]
+
+
+def test_golden_cornell_interior_rmse_smoke():
+    from steeljax.apps.compare import rmse
+
+    w, h = 120, 68
+    ours = _render(w, h, spp=6)
+    ref = _downscaled_gallery(w, h)
+    value = rmse(_interior(ref, w, h), _interior(ours, w, h))
+    # 6 spp measured 0.177 (mostly MC noise + surrogate-env flatness);
+    # gross regressions (camera/tone map/BRDF/emission) land > 0.3.
+    assert value < 0.25, f"interior RMSE {value:.3f} vs gallery"
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="slow golden gate (RUN_SLOW=1 to enable)")
+def test_golden_cornell_interior_rmse_full():
+    from steeljax.apps.compare import rmse
+
+    w, h = 240, 136
+    ours = _render(w, h, spp=48)
+    ref = _downscaled_gallery(w, h)
+    value = rmse(_interior(ref, w, h), _interior(ours, w, h))
+    # Measured 0.131 at 48 spp (240x136); see docs/golden/README.md for
+    # the residual decomposition (noise + directional env structure).
+    assert value < 0.18, f"interior RMSE {value:.3f} vs gallery"
