@@ -520,3 +520,343 @@ def trace_nearest_packet8(bvh8, tris_packed, o, d, t_min, t_max,
                           jnp.asarray(t_max, jnp.float32),
                           bvh8.max_leaf, bvh8.depth, cull_backface, any_hit,
                           packet_sublanes=packet_sublanes)
+
+
+# ---------------------------------------------------------------------------
+# Two-level kernel: instance TLAS over object-space BLAS (accel.instances)
+# ---------------------------------------------------------------------------
+
+_INST_LEAF_BITS = 19  # tri_row bits in instanced leaf encodings (4M tris)
+
+
+def _traverse_kernel8_inst(snodes_ref, tris_ref, inst_ref,
+                           ox, oy, oz, dx, dy, dz, tmn, tmx,
+                           out_t, out_u, out_v, out_i, out_inst,
+                           stack_ref, sp_ref, cur_inst_ref, cur_ds_ref,
+                           bt_ref, bu_ref, bv_ref, bi_ref, binst_ref,
+                           cox, coy, coz, cdx, cdy, cdz,
+                           civx, civy, civz,
+                           *, max_leaf: int,
+                           cull_backface: bool, any_hit: bool = False):
+    """Two-level packet traversal (instance TLAS -> object-space BLAS).
+
+    Stack entries (int32): >= 0 is a unified supernode id (TLAS rows
+    first, then BLAS rows — accel.instances).  Negative entries encode
+    enc = -entry - 1 with tag = enc & 3, payload = enc >> 2:
+      tag 0: triangle leaf, payload = tri_row | count << 19
+      tag 1: instance enter (payload = instance id): transform the whole
+             packet into the instance's object space (uniform scalar
+             reads from inst_ref) and push [restore, blas_root]
+      tag 2: restore world-space rays
+
+    LIFO bracketing guarantees the scratch ray state matches every
+    popped entry's space: a BLAS subtree is fully traversed between its
+    instance-enter and its restore, and sibling instance subtrees are
+    themselves bracketed.  t is the world ray parameter throughout
+    (affine transform, unnormalized object direction), so best-t pruning
+    works across levels.  Triangle facing uses OBJECT-space winding —
+    Vulkan's default (no FLIP_FACING instance bit in the reference).
+    """
+    f32 = jnp.float32
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                               jnp.where(d < 0, -1e-12, 1e-12), d)
+
+    # Current-space ray scratch (world at start / after restore).
+    cox[:] = ox[:]
+    coy[:] = oy[:]
+    coz[:] = oz[:]
+    cdx[:] = dx[:]
+    cdy[:] = dy[:]
+    cdz[:] = dz[:]
+    civx[:] = safe_inv(dx[:])
+    civy[:] = safe_inv(dy[:])
+    civz[:] = safe_inv(dz[:])
+
+    bt_ref[:] = tmx[:]
+    bu_ref[:] = jnp.zeros_like(tmx[:])
+    bv_ref[:] = jnp.zeros_like(tmx[:])
+    bi_ref[:] = jnp.full(tmx.shape, -1, jnp.int32)
+    binst_ref[:] = jnp.full(tmx.shape, -1, jnp.int32)
+
+    stack_ref[0] = 0
+    sp_ref[0] = 1
+    cur_inst_ref[0] = -1
+    cur_ds_ref[0] = 0.0
+
+    def cond(_):
+        return sp_ref[0] > 0
+
+    def body(_):
+        sp = sp_ref[0]
+        entry = stack_ref[sp - 1]
+        sp_ref[0] = sp - 1
+
+        @pl.when(entry >= 0)
+        def _supernode():
+            row = snodes_ref[entry]
+            big = jnp.float32(3.0e38)
+            keys = []
+            vals = []
+            for c in range(8):
+                off = 16 * c
+                t0x = (row[off + 0] - cox[:]) * civx[:]
+                t1x = (row[off + 3] - cox[:]) * civx[:]
+                t0y = (row[off + 1] - coy[:]) * civy[:]
+                t1y = (row[off + 4] - coy[:]) * civy[:]
+                t0z = (row[off + 2] - coz[:]) * civz[:]
+                t1z = (row[off + 5] - coz[:]) * civz[:]
+                near = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.minimum(t0z, t1z))
+                far = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x),
+                                jnp.maximum(t0y, t1y)),
+                    jnp.maximum(t0z, t1z))
+                hit = (near <= far) & (far >= tmn[:]) & (near <= bt_ref[:])
+                meta0 = row[off + 6].astype(jnp.int32)
+                meta1 = row[off + 7].astype(jnp.int32)
+                near_min = jnp.min(jnp.where(hit, near, big))
+                is_leaf_child = meta1 > 0
+                is_inst_child = meta1 < 0
+                leaf_enc = -((((meta0 // 8)
+                               | (meta1 << _INST_LEAF_BITS)) << 2) + 1)
+                inst_enc = -(((meta0 << 2) | 1) + 1)
+                entry_val = jnp.where(
+                    is_leaf_child, leaf_enc,
+                    jnp.where(is_inst_child, inst_enc, meta0))
+                keys.append(jnp.where(meta0 >= 0, near_min, big))
+                vals.append(entry_val)
+
+            network = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
+                       (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (1, 5),
+                       (2, 6), (3, 7), (2, 4), (3, 5), (1, 2), (3, 4),
+                       (5, 6)]
+            for i, j in network:
+                swap = keys[i] < keys[j]
+                ki = jnp.where(swap, keys[j], keys[i])
+                kj = jnp.where(swap, keys[i], keys[j])
+                vi = jnp.where(swap, vals[j], vals[i])
+                vj = jnp.where(swap, vals[i], vals[j])
+                keys[i], keys[j] = ki, kj
+                vals[i], vals[j] = vi, vj
+
+            for c in range(8):
+                do_push = keys[c] < big
+                s = sp_ref[0]
+                stack_ref[s] = vals[c]
+                sp_ref[0] = s + do_push.astype(jnp.int32)
+
+        @pl.when(entry < 0)
+        def _encoded():
+            enc = -entry - 1
+            tag = enc & 3
+            payload = enc >> 2
+
+            @pl.when(tag == 0)
+            def _leaf():
+                row_base = payload & ((1 << _INST_LEAF_BITS) - 1)
+                cnt = payload >> _INST_LEAF_BITS
+                inst = cur_inst_ref[0]
+                inst_ds = cur_ds_ref[0]
+                for r in range(max_leaf // 8):
+                    trow = tris_ref[row_base + r]
+                    for j in range(8):
+                        l = r * 8 + j
+                        off = 16 * j
+                        v0x = trow[off + 0]
+                        v0y = trow[off + 1]
+                        v0z = trow[off + 2]
+                        e1x = trow[off + 3]
+                        e1y = trow[off + 4]
+                        e1z = trow[off + 5]
+                        e2x = trow[off + 6]
+                        e2y = trow[off + 7]
+                        e2z = trow[off + 8]
+                        ds = jnp.maximum(trow[off + 9], inst_ds)
+
+                        px = cdy[:] * e2z - cdz[:] * e2y
+                        py = cdz[:] * e2x - cdx[:] * e2z
+                        pz = cdx[:] * e2y - cdy[:] * e2x
+                        det = e1x * px + e1y * py + e1z * pz
+                        if cull_backface:
+                            facing = (det > _DET_EPS) | (
+                                (ds > 0.5) & (jnp.abs(det) > _DET_EPS))
+                        else:
+                            facing = jnp.abs(det) > _DET_EPS
+                        inv_det = 1.0 / jnp.where(
+                            jnp.abs(det) > _DET_EPS, det, 1.0)
+                        tx = cox[:] - v0x
+                        ty = coy[:] - v0y
+                        tz = coz[:] - v0z
+                        u = (tx * px + ty * py + tz * pz) * inv_det
+                        qx = ty * e1z - tz * e1y
+                        qy = tz * e1x - tx * e1z
+                        qz = tx * e1y - ty * e1x
+                        v = (cdx[:] * qx + cdy[:] * qy
+                             + cdz[:] * qz) * inv_det
+                        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                        hit = (facing & (u >= 0.0) & (v >= 0.0)
+                               & (u + v <= 1.0) & (t >= tmn[:])
+                               & (t <= bt_ref[:]) & (l < cnt))
+                        bt_ref[:] = jnp.where(hit, t, bt_ref[:])
+                        bu_ref[:] = jnp.where(hit, u, bu_ref[:])
+                        bv_ref[:] = jnp.where(hit, v, bv_ref[:])
+                        bi_ref[:] = jnp.where(
+                            hit, row_base * 8 + jnp.int32(l), bi_ref[:])
+                        binst_ref[:] = jnp.where(hit, inst, binst_ref[:])
+                if any_hit:
+                    @pl.when(jnp.all(bi_ref[:] >= 0))
+                    def _done():
+                        sp_ref[0] = 0
+
+            @pl.when(tag == 1)
+            def _instance():
+                iid = payload
+                a00 = inst_ref[iid, 0]
+                a01 = inst_ref[iid, 1]
+                a02 = inst_ref[iid, 2]
+                b0 = inst_ref[iid, 3]
+                a10 = inst_ref[iid, 4]
+                a11 = inst_ref[iid, 5]
+                a12 = inst_ref[iid, 6]
+                b1 = inst_ref[iid, 7]
+                a20 = inst_ref[iid, 8]
+                a21 = inst_ref[iid, 9]
+                a22 = inst_ref[iid, 10]
+                b2 = inst_ref[iid, 11]
+                cox[:] = a00 * ox[:] + a01 * oy[:] + a02 * oz[:] + b0
+                coy[:] = a10 * ox[:] + a11 * oy[:] + a12 * oz[:] + b1
+                coz[:] = a20 * ox[:] + a21 * oy[:] + a22 * oz[:] + b2
+                cdx[:] = a00 * dx[:] + a01 * dy[:] + a02 * dz[:]
+                cdy[:] = a10 * dx[:] + a11 * dy[:] + a12 * dz[:]
+                cdz[:] = a20 * dx[:] + a21 * dy[:] + a22 * dz[:]
+                civx[:] = safe_inv(cdx[:])
+                civy[:] = safe_inv(cdy[:])
+                civz[:] = safe_inv(cdz[:])
+                cur_inst_ref[0] = iid
+                cur_ds_ref[0] = inst_ref[iid, 13]
+                s = sp_ref[0]
+                stack_ref[s] = -3          # restore sentinel (tag 2)
+                stack_ref[s + 1] = inst_ref[iid, 12].astype(jnp.int32)
+                sp_ref[0] = s + 2
+
+            @pl.when(tag == 2)
+            def _restore():
+                cox[:] = ox[:]
+                coy[:] = oy[:]
+                coz[:] = oz[:]
+                cdx[:] = dx[:]
+                cdy[:] = dy[:]
+                cdz[:] = dz[:]
+                civx[:] = safe_inv(dx[:])
+                civy[:] = safe_inv(dy[:])
+                civz[:] = safe_inv(dz[:])
+                cur_inst_ref[0] = -1
+                cur_ds_ref[0] = 0.0
+        return 0
+
+    jax.lax.while_loop(cond, body, 0)
+
+    found = bi_ref[:] >= 0
+    out_t[:] = jnp.where(found, bt_ref[:], f32(-1.0))
+    out_u[:] = bu_ref[:]
+    out_v[:] = bv_ref[:]
+    out_i[:] = bi_ref[:]
+    out_inst[:] = binst_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_leaf", "depth", "cull_backface", "any_hit",
+                     "packet_sublanes"))
+def _trace_packed8_inst(snode_rows, tris_packed, inst_trace, o, d,
+                        t_min, t_max, max_leaf: int, depth: int,
+                        cull_backface: bool, any_hit: bool = False,
+                        packet_sublanes: int = SUBLANES):
+    count = o.shape[0]
+    block = LANES * packet_sublanes
+    padded = -(-count // block) * block
+    pad = padded - count
+
+    def prep(x, fill=0.0):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=fill)
+
+    o = prep(o)
+    d = prep(d, 1.0)
+    tmn = prep(jnp.broadcast_to(t_min, (count,)))
+    tmx = prep(jnp.broadcast_to(t_max, (count,)), -1.0)
+
+    rows = padded // LANES
+    comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tmn, tmx]
+    comps = [c.reshape(rows, LANES) for c in comps]
+
+    grid = (rows // packet_sublanes,)
+    ray_spec = pl.BlockSpec((packet_sublanes, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _traverse_kernel8_inst, max_leaf=max_leaf,
+        cull_backface=cull_backface, any_hit=any_hit)
+
+    tile = (packet_sublanes, LANES)
+    out_shape = [
+        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+    ]
+    t, u, v, idx, inst = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[full, full, full] + [ray_spec] * 8,
+        out_specs=[ray_spec] * 5,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.SMEM((8 * depth + 32,), jnp.int32),  # encoded stack
+            pltpu.SMEM((1,), jnp.int32),               # stack pointer
+            pltpu.SMEM((1,), jnp.int32),               # current instance
+            pltpu.SMEM((1,), jnp.float32),             # instance ds flag
+            pltpu.VMEM(tile, jnp.float32),             # best t
+            pltpu.VMEM(tile, jnp.float32),             # best u
+            pltpu.VMEM(tile, jnp.float32),             # best v
+            pltpu.VMEM(tile, jnp.int32),               # best tri
+            pltpu.VMEM(tile, jnp.int32),               # best instance
+            pltpu.VMEM(tile, jnp.float32),             # current o.x
+            pltpu.VMEM(tile, jnp.float32),             # current o.y
+            pltpu.VMEM(tile, jnp.float32),             # current o.z
+            pltpu.VMEM(tile, jnp.float32),             # current d.x
+            pltpu.VMEM(tile, jnp.float32),             # current d.y
+            pltpu.VMEM(tile, jnp.float32),             # current d.z
+            pltpu.VMEM(tile, jnp.float32),             # current 1/d.x
+            pltpu.VMEM(tile, jnp.float32),             # current 1/d.y
+            pltpu.VMEM(tile, jnp.float32),             # current 1/d.z
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+    )(snode_rows, tris_packed, inst_trace, *comps)
+
+    t = t.reshape(-1)[:count]
+    u = u.reshape(-1)[:count]
+    v = v.reshape(-1)[:count]
+    idx = idx.reshape(-1)[:count]
+    inst = inst.reshape(-1)[:count]
+    hit = idx >= 0
+    return {"t": t, "tri": idx, "u": u, "v": v, "hit": hit, "inst": inst}
+
+
+def trace_nearest_packet8_inst(tables, o, d, t_min, t_max,
+                               cull_backface: bool = True,
+                               any_hit: bool = False,
+                               packet_sublanes: int = SUBLANES):
+    """Two-level packet traversal over accel.instances.InstancedTables."""
+    return _trace_packed8_inst(
+        tables.snode_rows, tables.tris_packed, tables.inst_trace, o, d,
+        jnp.asarray(t_min, jnp.float32), jnp.asarray(t_max, jnp.float32),
+        tables.max_leaf, tables.depth, cull_backface, any_hit,
+        packet_sublanes=packet_sublanes)

@@ -32,6 +32,9 @@ def main(argv=None) -> int:
                              " — surrogate for missing panorama assets")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
+    parser.add_argument("--instancing", action="store_true",
+                        help="two-level acceleration structure (per-"
+                             "primitive BLAS + instance TLAS; pt mode)")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -69,7 +72,8 @@ def main(argv=None) -> int:
     t0 = time.time()
     if args.mode == "pt":
         from steeljax.render.pt.renderer import PathTracingRenderer
-        renderer = PathTracingRenderer(scene, width, height, config)
+        renderer = PathTracingRenderer(scene, width, height, config,
+                                       instancing=args.instancing)
         image = renderer.render(args.spp)
     else:
         from steeljax.render.hybrid.renderer import HybridRenderer

@@ -79,11 +79,51 @@ def primary_rays(inverse_view, inverse_proj, width, height, px, py, seed,
 # Hit shading inputs (ClosestHit.rchit + UnpackMaterial, RayGen.rgen:72-115)
 # ---------------------------------------------------------------------------
 
-def _alpha_rejected(scene: FlatScene, rec):
+def shade_rows(scene: FlatScene, tables, rec):
+    """The per-hit (N, 56) shading row (tri_shade layout, world space).
+
+    Flattened path: one tri_shade row gather.  Instanced path
+    (accel.instances): compose the object-space geometric BLAS row with
+    the instance's material row and rotate normals/tangents into world
+    space with the instance's normal / linear matrices — the ClosestHit
+    objectToWorld transform (ClosestHit.rchit:55-60) done at shade time."""
+    from steeljax.accel.instances import InstancedTables
+
+    tri = jnp.maximum(rec["tri"], 0)
+    if not isinstance(tables, InstancedTables):
+        return scene.tri_shade[tri]
+
+    inst = jnp.maximum(rec["inst"], 0)
+    geo = tables.blas_shade[tri]        # (N, 28) object space
+    irow = tables.inst_shade[inst]      # (N, 48)
+    nm = irow[:, 0:9]
+    wl = irow[:, 9:18]
+
+    def rotate(vecs, m, k):
+        out = []
+        for i in range(k):
+            v = vecs[:, 3 * i:3 * i + 3]
+            out.append(jnp.stack([
+                m[:, 0] * v[:, 0] + m[:, 1] * v[:, 1] + m[:, 2] * v[:, 2],
+                m[:, 3] * v[:, 0] + m[:, 4] * v[:, 1] + m[:, 5] * v[:, 2],
+                m[:, 6] * v[:, 0] + m[:, 7] * v[:, 1] + m[:, 8] * v[:, 2],
+            ], axis=-1))
+        return jnp.concatenate(out, axis=-1)
+
+    normals = rotate(geo[:, 0:9], nm, 3)
+    tangents = rotate(geo[:, 9:18], wl, 3)
+    geom_n = rotate(geo[:, 24:27], nm, 1)
+    # uv density is per-world-length: divide by the instance scale.
+    uvd = geo[:, 27:28] / jnp.maximum(irow[:, 46:47], 1e-6)
+    return jnp.concatenate(
+        [normals, tangents, geo[:, 18:24], geom_n, uvd, irow[:, 18:46]],
+        axis=-1)
+
+
+def _alpha_rejected(scene: FlatScene, rec, row):
     """hit & alpha-test & alpha < cutoff at a hit (AnyHit.rahit:35-52).
-    One tri_shade row gather covers flags, cutoff, alpha factor, base
+    One shading-row read covers flags, cutoff, alpha factor, base
     texture id, and the uv triangle."""
-    row = scene.tri_shade[jnp.maximum(rec["tri"], 0)]
     flags = row[:, 40].astype(jnp.int32)
     is_alpha_test = (flags & int(MaterialFlags.ALPHA_TEST)) != 0
     alpha = row[:, 35]
@@ -111,8 +151,20 @@ def trace_material_ray(scene: FlatScene, tables: TraceTables, o, d,
     ~4 ns/row each way, which cancels the packet-coherence win — see the
     round-2 perf notes.  Tile-ordered pixels (tiled_order) capture most of
     the coherence for free."""
-    rec = trace_nearest(tables, scene.tri_pos, scene.tri_double_sided, o, d,
-                        t_min, t_max, cull_backface=cull_backface)
+    from steeljax.accel.instances import (InstancedTables,
+                                          trace_nearest_instanced)
+
+    if isinstance(tables, InstancedTables):
+        def trace(o, d, tmn, tmx):
+            return trace_nearest_instanced(tables, o, d, tmn, tmx,
+                                           cull_backface=cull_backface)
+    else:
+        def trace(o, d, tmn, tmx):
+            return trace_nearest(tables, scene.tri_pos,
+                                 scene.tri_double_sided, o, d, tmn, tmx,
+                                 cull_backface=cull_backface)
+
+    rec = trace(o, d, t_min, t_max)
     if not scene.any_alpha_test:
         return rec
 
@@ -124,14 +176,11 @@ def trace_material_ray(scene: FlatScene, tables: TraceTables, o, d,
     tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
 
     def retrace_pass(rec):
-        rejected = _alpha_rejected(scene, rec)
+        rejected = _alpha_rejected(scene, rec, shade_rows(scene, tables, rec))
 
         def do_retrace(rec):
             new_tmin = rec["t"] + 1e-4
-            rec2 = trace_nearest(
-                tables, scene.tri_pos, scene.tri_double_sided, o, d,
-                new_tmin, jnp.where(rejected, tmax, -1.0),
-                cull_backface=cull_backface)
+            rec2 = trace(o, d, new_tmin, jnp.where(rejected, tmax, -1.0))
             return {k: jnp.where(rejected, rec2[k], rec[k]) for k in rec}
 
         return jax.lax.cond(jnp.any(rejected), do_retrace, lambda r: r, rec)
@@ -140,7 +189,7 @@ def trace_material_ray(scene: FlatScene, tables: TraceTables, o, d,
         rec = retrace_pass(rec)
     # Hits that are still alpha-rejected after the bounded loop count as
     # misses (conservative vs the reference's exhaustive walk).
-    final_reject = _alpha_rejected(scene, rec)
+    final_reject = _alpha_rejected(scene, rec, shade_rows(scene, tables, rec))
     rec["hit"] = rec["hit"] & ~final_reject
     rec["tri"] = jnp.where(rec["hit"], rec["tri"], -1)
     rec["t"] = jnp.where(rec["hit"], rec["t"], -1.0)
@@ -151,7 +200,14 @@ def trace_visibility(scene: FlatScene, tables: TraceTables, o, d,
                      t_min, t_max, max_alpha_retrace: int):
     """TraceVisibilityRay (RayGen.rgen:127-178): occlusion with alpha-test
     transparency, no backface culling.  Returns (N,) bool occluded."""
+    from steeljax.accel.instances import (InstancedTables,
+                                          trace_nearest_instanced)
+
     if not scene.any_alpha_test:
+        if isinstance(tables, InstancedTables):
+            return trace_nearest_instanced(
+                tables, o, d, t_min, t_max, cull_backface=False,
+                any_hit=True)["hit"]
         return trace_any(tables, scene.tri_pos, scene.tri_double_sided, o, d,
                          t_min, t_max)
     rec = trace_material_ray(scene, tables, o, d, t_min, t_max,
@@ -160,18 +216,20 @@ def trace_visibility(scene: FlatScene, tables: TraceTables, o, d,
     return rec["hit"]
 
 
-def unpack_material(scene: FlatScene, rec, ray_d):
+def unpack_material(scene: FlatScene, rec, ray_d, shade=None):
     """ClosestHit attribute interpolation + UnpackMaterial
     (RayGen.rgen:72-115).  Returns (surface dict, tbn).
 
     EVERYTHING — vertex attributes AND the owning material's constants —
-    comes from ONE packed row read (FlatScene.tri_shade); on TPU each
-    additional small gather costs ~10 ms/Mray while one wide row gather is
-    near bandwidth, so the material table is denormalized per triangle."""
+    comes from ONE packed row read (`shade`, tri_shade layout; defaults to
+    the flattened scene's table); on TPU each additional small gather
+    costs ~10 ms/Mray while one wide row gather is near bandwidth, so the
+    material table is denormalized per triangle."""
     tri = jnp.maximum(rec["tri"], 0)
     u, v = rec["u"], rec["v"]
 
-    shade = scene.tri_shade[tri]                     # (N, 48)
+    if shade is None:
+        shade = scene.tri_shade[tri]                 # (N, 56)
     w = (1.0 - u - v)[..., None]
     uw = u[..., None]
     vw = v[..., None]
@@ -373,7 +431,8 @@ def trace_paths(scene: FlatScene, tables: TraceTables, o, d, seed,
 
             alive = alive & rec["hit"]
 
-            surface, tbn = unpack_material(scene, rec, d)
+            surface, tbn = unpack_material(
+                scene, rec, d, shade_rows(scene, tables, rec))
 
             # Emission (RayGen.rgen:361).
             irradiance = irradiance + jnp.where(

@@ -53,11 +53,17 @@ def accumulate(state: AccumulationState,
 def prepare_scene(scene: Scene, env_resolution: int = 256,
                   use_default_environment: bool = True,
                   use_pallas: bool | None = None,
-                  leaf_size: int = 24) -> tuple[FlatScene, TraceTables]:
+                  leaf_size: int = 24,
+                  accel=None) -> tuple[FlatScene, TraceTables]:
     """Flatten + build acceleration structure + environment cubemap.
 
     Scenes without a loadable panorama get the procedural sky when
-    `use_default_environment` (Config::kUseDefaultAssets analog)."""
+    `use_default_environment` (Config::kUseDefaultAssets analog).
+
+    Passing an accel.instances.InstancedAccel as `accel` selects the
+    two-level structure: per-primitive BLAS (cached inside `accel`) + an
+    instance TLAS, so later `accel.prepare(scene)` calls re-prepare in
+    O(instances) (AccelerationStructureManager.cpp:128-220 semantics)."""
     env_cube = None
     if getattr(scene, "environment_color", None) is not None:
         env_cube = np.broadcast_to(
@@ -70,6 +76,9 @@ def prepare_scene(scene: Scene, env_resolution: int = 256,
         from steeljax.env.sky import procedural_sky_cube
         env_cube = procedural_sky_cube(env_resolution)
     flat = flatten_scene(scene, env_cube)
+
+    if accel is not None:
+        return flat, accel.prepare(scene)
 
     tri_pos = np.asarray(flat.tri_pos)
     tables, global_order, total_padded = prepare_tables(
@@ -100,19 +109,35 @@ class PathTracingRenderer:
     """Host-side driver: owns device scene arrays and accumulation state."""
 
     def __init__(self, scene: Scene, width: int, height: int,
-                 config: RenderConfig = RenderConfig(), prepared=None):
+                 config: RenderConfig = RenderConfig(), prepared=None,
+                 instancing: bool = False):
         self.scene = scene
         self.width = width
         self.height = height
         self.config = config
-        self.flat, self.tables = prepared or prepare_scene(scene)
+        self._accel = None
+        if instancing and prepared is None:
+            from steeljax.accel.instances import InstancedAccel
+            self._accel = InstancedAccel()
+        self.flat, self.tables = prepared or prepare_scene(
+            scene, accel=self._accel)
         self.state = init_accumulation(width, height)
         self._set_camera_arrays()
 
     def refresh_scene(self, prepared=None) -> None:
-        """Re-flatten after scene mutation (the per-frame TLAS rebuild of
-        SceneRenderer.cpp:179-218, done on demand) and reset accumulation."""
-        self.flat, self.tables = prepared or prepare_scene(self.scene)
+        """Refresh device tables after scene mutation (the per-frame TLAS
+        rebuild of SceneRenderer.cpp:179-218, done on demand) and reset
+        accumulation.  With instancing, only the O(instances) instance
+        tables and the light rows rebuild — BLAS and triangle tables stay
+        resident on device."""
+        if prepared is not None:
+            self.flat, self.tables = prepared
+        elif self._accel is not None:
+            from steeljax.scene.flatten import refresh_lights
+            self.tables = self._accel.prepare(self.scene)
+            self.flat = refresh_lights(self.flat, self.scene)
+        else:
+            self.flat, self.tables = prepare_scene(self.scene)
         self.reset_accumulation()
 
     def _set_camera_arrays(self) -> None:

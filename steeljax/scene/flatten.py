@@ -182,6 +182,21 @@ def pack_materials(mat_base_color, mat_emission, mat_params,
     return out
 
 
+def refresh_lights(flat: FlatScene, scene: Scene) -> FlatScene:
+    """Re-pack just the light rows from the entity view (the per-frame
+    UpdateLightBuffer, SceneRenderer.cpp:77-118) — O(entities), used by the
+    instanced refresh path where geometry tables stay resident."""
+    locations, colors = scene.gather_lights()
+    light_count = min(len(locations), MAX_LIGHT_COUNT)
+    light_location = np.zeros((MAX_LIGHT_COUNT, 4), np.float32)
+    light_color = np.zeros((MAX_LIGHT_COUNT, 4), np.float32)
+    light_location[:light_count] = locations[:light_count]
+    light_color[:light_count] = colors[:light_count]
+    return flat.replace(light_location=jnp.asarray(light_location),
+                        light_color=jnp.asarray(light_color),
+                        light_count=int(light_count))
+
+
 def flatten_scene(scene: Scene, env_cube: np.ndarray | None = None) -> FlatScene:
     tri_pos, tri_nrm, tri_tan, tri_uv, tri_mat, tri_ds = [], [], [], [], [], []
 
