@@ -71,10 +71,23 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     if args.mode == "pt":
+        from steeljax.core.logger import log_i
         from steeljax.render.pt.renderer import PathTracingRenderer
         renderer = PathTracingRenderer(scene, width, height, config,
                                        instancing=args.instancing)
-        image = renderer.render(args.spp)
+        # Per-frame stats — the UIRenderer frame-time overlay analog
+        # ("Frame time: %.2f ms (%.1f FPS)", UIRenderer.cpp:108-112), plus
+        # primary-ray throughput.
+        image = None
+        last = time.time()
+        for i in range(args.spp):
+            image = renderer.render_frame()
+            now = time.time()
+            dt = max(now - last, 1e-9)
+            last = now
+            log_i(f"frame {i + 1}/{args.spp}: {dt * 1000.0:.2f} ms "
+                  f"({1.0 / dt:.1f} FPS, "
+                  f"{width * height / dt / 1e6:.1f} Mpray/s)")
     else:
         from steeljax.render.hybrid.renderer import HybridRenderer
         renderer = HybridRenderer(scene, width, height, config)

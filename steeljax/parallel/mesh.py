@@ -23,16 +23,36 @@ from steeljax.core.config import RenderConfig
 from steeljax.render.pt.integrator import render_pixels
 
 PIXEL_AXIS = "tiles"
+HOST_AXIS = "hosts"
 
 
-def make_mesh(devices=None) -> Mesh:
+def make_mesh(devices=None, host_shape: int | None = None) -> Mesh:
+    """Device mesh for pixel data-parallelism.
+
+    1D by default (single-host ICI).  With `host_shape=H`, a 2D
+    (H, n/H) mesh ("hosts", "tiles"): the outer axis is the DCN
+    (multi-host) dimension, the inner the per-host ICI ring.  Pixel
+    sharding spans both axes jointly — still pure DP with zero per-frame
+    collectives, so DCN bandwidth only matters for the final image
+    gather (SURVEY.md §2.7)."""
     if devices is None:
         devices = jax.devices()
-    return Mesh(np.asarray(devices), (PIXEL_AXIS,))
+    devices = np.asarray(devices)
+    if host_shape is None:
+        return Mesh(devices, (PIXEL_AXIS,))
+    assert devices.size % host_shape == 0
+    return Mesh(devices.reshape(host_shape, -1), (HOST_AXIS, PIXEL_AXIS))
+
+
+def _pixel_spec(mesh: Mesh):
+    """PartitionSpec sharding the flat pixel axis over every mesh axis."""
+    if HOST_AXIS in mesh.axis_names:
+        return P((HOST_AXIS, PIXEL_AXIS))
+    return P(PIXEL_AXIS)
 
 
 def shard_pixels(mesh: Mesh, width: int, height: int):
-    """Flat pixel-coordinate arrays laid out across the mesh axis.
+    """Flat pixel-coordinate arrays laid out across the mesh axes.
 
     Pads the pixel count to a multiple of the device count; returns
     (px, py, pad) device arrays + the pad amount to strip after render.
@@ -46,7 +66,7 @@ def shard_pixels(mesh: Mesh, width: int, height: int):
     py = np.zeros(padded, np.int32)
     px[:count] = xs.reshape(-1)
     py[:count] = ys.reshape(-1)
-    sharding = NamedSharding(mesh, P(PIXEL_AXIS))
+    sharding = NamedSharding(mesh, _pixel_spec(mesh))
     return (jax.device_put(px, sharding), jax.device_put(py, sharding),
             padded - count)
 

@@ -49,6 +49,25 @@ def test_sharded_matches_single_device(setup):
     np.testing.assert_allclose(sharded, single, atol=1e-5)
 
 
+@pytest.mark.parametrize("host_shape", [2, 4])
+def test_multihost_mesh_shapes(setup, host_shape):
+    """DCN composition claim (parallel/mesh.py): a 2D (hosts, tiles) mesh
+    — outer axis standing in for the multi-host DCN dimension — must
+    produce the identical image, since pixel DP has no cross-device
+    dependencies at all."""
+    flat, bvh, frame = setup
+    mesh2d = make_mesh(host_shape=host_shape)
+    assert mesh2d.devices.shape == (host_shape, 8 // host_shape)
+    sharded = render_frame_sharded(
+        flat, bvh, frame.inverse_view, frame.inverse_proj,
+        frame.camera_near, frame.camera_far, W, H, mesh2d)
+    single = np.asarray(render_sample(
+        flat, bvh, jnp.asarray(frame.inverse_view),
+        jnp.asarray(frame.inverse_proj), frame.camera_near,
+        frame.camera_far, W, H, 0, 0, RenderConfig(width=W, height=H)))
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
 def test_graft_entry_dryrun():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
