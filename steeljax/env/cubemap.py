@@ -126,25 +126,26 @@ def sample_cube_quads(quads: jnp.ndarray, direction: jnp.ndarray
 
 
 def pack_mips(mips):
-    """Pack a cube mip chain into one flat texel pool so trilinear lod
-    sampling is 8 gathers from a single array (instead of evaluating every
-    level).  Returns (data (N, 3), offsets (M,), resolutions (M,))."""
+    """Pack a cube mip chain into one flat QUAD-row pool so trilinear lod
+    sampling is TWO row gathers (one per bracketing level) instead of
+    eight per-texel gathers — per-texel gathers cost ~10x on TPU.
+    Returns (data (N, 16) quad rows, offsets (M,), resolutions (M,))."""
     offsets, sizes, chunks = [], [], []
     total = 0
     for cube in mips:
         r = cube.shape[1]
         offsets.append(total)
         sizes.append(r)
-        chunks.append(cube.reshape(-1, 3))
+        chunks.append(pack_cube_quads(np.asarray(cube, np.float32)))
         total += 6 * r * r
-    return (jnp.concatenate(chunks, axis=0),
+    return (jnp.asarray(np.concatenate(chunks, axis=0)),
             jnp.asarray(np.array(offsets, np.int32)),
             jnp.asarray(np.array(sizes, np.int32)))
 
 
 def _sample_flat_level(data, offsets, sizes, level, face, x, y):
     """Bilinear fetch at integer mip `level` given face + in-face unit
-    coords x, y in [-1, 1]."""
+    coords x, y in [-1, 1] — one quad-row gather + lerp."""
     res = sizes[level]
     off = offsets[level]
     resf = res.astype(jnp.float32)
@@ -152,21 +153,13 @@ def _sample_flat_level(data, offsets, sizes, level, face, x, y):
     v = (y + 1.0) * 0.5 * resf - 0.5
     u0 = jnp.floor(u)
     v0 = jnp.floor(v)
-    fu = (u - u0)[..., None]
-    fv = (v - v0)[..., None]
-
-    def cl(i):
-        return jnp.clip(i.astype(jnp.int32), 0, res - 1)
-
-    def fetch(ui, vi):
-        return data[off + (face * res + vi) * res + ui]
-
-    c00 = fetch(cl(u0), cl(v0))
-    c10 = fetch(cl(u0 + 1), cl(v0))
-    c01 = fetch(cl(u0), cl(v0 + 1))
-    c11 = fetch(cl(u0 + 1), cl(v0 + 1))
-    top = c00 * (1 - fu) + c10 * fu
-    bot = c01 * (1 - fu) + c11 * fu
+    fu = jnp.where(u0 < 0, 0.0, u - u0)[..., None]
+    fv = jnp.where(v0 < 0, 0.0, v - v0)[..., None]
+    u0i = jnp.clip(u0.astype(jnp.int32), 0, res - 1)
+    v0i = jnp.clip(v0.astype(jnp.int32), 0, res - 1)
+    row = data[off + (face * res + v0i) * res + u0i]   # (..., 16)
+    top = row[..., 0:3] * (1 - fu) + row[..., 3:6] * fu
+    bot = row[..., 6:9] * (1 - fu) + row[..., 9:12] * fu
     return top * (1 - fv) + bot * fv
 
 

@@ -27,10 +27,15 @@ class Environment:
     reflection_mips: tuple                  # tuple of (6, m, m, 3)
     # Packed form of the reflection chain for fast runtime trilinear
     # (8 gathers) — see env.cubemap.pack_mips.
-    reflection_data: jnp.ndarray            # (N, 3)
+    reflection_data: jnp.ndarray            # (N, 16) quad rows
     reflection_offsets: jnp.ndarray         # (M,)
     reflection_sizes: jnp.ndarray           # (M,)
     specular_lut: jnp.ndarray               # (L, L, 2)
+    # Bilinear-footprint quad packs (one row gather per lookup — per-texel
+    # gathers cost ~10x on TPU; see env.cubemap.pack_cube_quads).
+    cube_quads: jnp.ndarray                 # (6*R*R, 16)
+    irradiance_quads: jnp.ndarray           # (6*r*r, 16)
+    specular_lut_quads: jnp.ndarray         # (L*L, 8)
 
 
 def load_environment(panorama_path: str | None = None,
@@ -53,17 +58,23 @@ def load_environment(panorama_path: str | None = None,
         else:
             cube = procedural_sky_cube(cube_resolution)
     cube = jnp.asarray(cube, jnp.float32)
-    from steeljax.env.cubemap import pack_mips
+    from steeljax.env.cubemap import pack_cube_quads, pack_mips
     reflection_mips = ibl.generate_reflection_mips(
         cube, reflection_resolution, reflection_samples)
     data, offsets, sizes = pack_mips(reflection_mips)
+    irradiance = ibl.generate_irradiance_cube(
+        cube, irradiance_resolution, irradiance_delta)
+    lut = ibl.specular_brdf_lut(lut_resolution, lut_samples)
     return Environment(
         cube=cube,
-        irradiance=ibl.generate_irradiance_cube(
-            cube, irradiance_resolution, irradiance_delta),
+        irradiance=irradiance,
         reflection_mips=reflection_mips,
         reflection_data=data,
         reflection_offsets=offsets,
         reflection_sizes=sizes,
-        specular_lut=ibl.specular_brdf_lut(lut_resolution, lut_samples),
+        specular_lut=lut,
+        cube_quads=jnp.asarray(pack_cube_quads(np.asarray(cube))),
+        irradiance_quads=jnp.asarray(
+            pack_cube_quads(np.asarray(irradiance))),
+        specular_lut_quads=ibl.pack_lut_quads(lut),
     )

@@ -85,6 +85,41 @@ def specular_brdf_lut(resolution: int = 256,
     return lut.reshape(resolution, resolution, 2)
 
 
+def pack_lut_quads(lut) -> jnp.ndarray:
+    """Pack the (R, R, 2) LUT into bilinear quad rows (R*R, 8):
+    [c00, c10, c01, c11] with clamped edge neighbors — one row gather per
+    lookup (sample_lut_quads)."""
+    import numpy as np
+    lut = np.asarray(lut, np.float32)
+    r = lut.shape[0]
+    nxt = np.minimum(np.arange(r) + 1, r - 1)
+    out = np.zeros((r, r, 8), np.float32)
+    out[..., 0:2] = lut
+    out[..., 2:4] = lut[:, nxt]
+    out[..., 4:6] = lut[nxt]
+    out[..., 6:8] = lut[nxt][:, nxt]
+    return jnp.asarray(out.reshape(r * r, 8))
+
+
+def sample_lut_quads(quads: jnp.ndarray, nov: jnp.ndarray,
+                     roughness: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear clamp-sample over a pack_lut_quads table; matches
+    sample_lut exactly."""
+    r = int(round(quads.shape[0] ** 0.5))
+    x = jnp.clip(nov, 0.0, 1.0) * r - 0.5
+    y = jnp.clip(roughness, 0.0, 1.0) * r - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = jnp.where(x0 < 0, 0.0, x - x0)[..., None]
+    fy = jnp.where(y0 < 0, 0.0, y - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, r - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, r - 1)
+    row = quads[y0i * r + x0i]
+    top = row[..., 0:2] * (1 - fx) + row[..., 2:4] * fx
+    bot = row[..., 4:6] * (1 - fx) + row[..., 6:8] * fx
+    return top * (1 - fy) + bot * fy
+
+
 def sample_lut(lut: jnp.ndarray, nov: jnp.ndarray,
                roughness: jnp.ndarray) -> jnp.ndarray:
     """Bilinear clamp-sample of the (R, R, 2) LUT at (NoV, roughness)."""

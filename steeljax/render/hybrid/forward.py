@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from steeljax.accel.dispatch import TraceTables, trace_nearest
 from steeljax.core.colors import to_linear, tone_map
-from steeljax.env.cubemap import sample_cube
+from steeljax.env.cubemap import sample_cube_quads
 from steeljax.env.environment import Environment
 from steeljax.render.hybrid.gbuffer import _interp_cols
 from steeljax.render.hybrid.lighting import (compute_direct_lighting,
@@ -72,17 +72,22 @@ def shade_forward(scene: FlatScene, tables: TraceTables, env: Environment,
     flip = ds_mat & (jnp.sum(normal * view, axis=-1) < 0.0)
     normal = jnp.where(flip[..., None], -normal, normal)
 
-    n_idx = shade[:, 43].astype(jnp.int32)
-    ns = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
-                         n_idx, uv)[..., :3] * 2.0 - 1.0
-    scale = shade[:, 39]
-    ns = _normalize(ns * jnp.stack([scale, scale, jnp.ones_like(scale)], -1))
-    tbn = brdf_lib.make_tbn_with_tangent(normal, tangent)
-    mapped = _normalize(brdf_lib.tangent_to_world(ns, tbn))
-    normal = jnp.where((n_idx >= 0)[..., None], mapped, normal)
+    # Statically skipped for untextured scenes (shader-define analog).
+    if scene.has_textures:
+        n_idx = shade[:, 43].astype(jnp.int32)
+        ns = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
+                             n_idx, uv)[..., :3] * 2.0 - 1.0
+        scale = shade[:, 39]
+        ns = _normalize(
+            ns * jnp.stack([scale, scale, jnp.ones_like(scale)], -1))
+        tbn = brdf_lib.make_tbn_with_tangent(normal, tangent)
+        mapped = _normalize(brdf_lib.tangent_to_world(ns, tbn))
+        normal = jnp.where((n_idx >= 0)[..., None], mapped, normal)
 
     def tex(slot_col):
         idx = shade[:, slot_col].astype(jnp.int32)
+        if not scene.has_textures:
+            return jnp.ones(idx.shape + (4,), jnp.float32), idx >= 0
         s = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
                             idx, uv)
         return s, idx >= 0
@@ -125,7 +130,7 @@ def forward_stage(scene: FlatScene, tables: TraceTables, env: Environment,
     """Compose the final display image: tone-mapped opaque lighting, env
     background, then the blend layer.  Returns (N, 3) display color."""
     hit = gbuffer["hit"]
-    env_color = tone_map(sample_cube(env.cube, d))
+    env_color = tone_map(sample_cube_quads(env.cube_quads, d))
     display = jnp.where(hit[..., None], tone_map(lit_linear), env_color)
 
     if not scene.any_alpha_blend:

@@ -135,21 +135,27 @@ def generate_gbuffer(scene: FlatScene, tables: TraceTables, o, d,
         return jnp.maximum(
             scene.tex_size[jnp.maximum(idx, 0)][..., 0], 1)
 
-    # NORMAL_MAPPING (Material.glsl:40-47).
-    n_idx = shade[:, 43].astype(jnp.int32)
-    has_nm = n_idx >= 0
-    nm_lod = base_lod + jnp.log2(tex_width(n_idx).astype(jnp.float32))
-    ns = sample_trilinear(scene.atlas, scene.tex_offset, scene.tex_size,
-                          n_idx, uv, nm_lod)[..., :3] * 2.0 - 1.0
-    scale = shade[:, 39]
-    ns = _normalize(ns * jnp.stack([scale, scale, jnp.ones_like(scale)],
-                                   axis=-1))
-    tbn = brdf_lib.make_tbn_with_tangent(normal, tangent)
-    mapped = _normalize(brdf_lib.tangent_to_world(ns, tbn))
-    normal = jnp.where(has_nm[..., None], mapped, normal)
+    # NORMAL_MAPPING (Material.glsl:40-47) — statically skipped for
+    # untextured scenes (the MaterialPipelineCache define analog): texture
+    # gathers cost ~10 ms/Mray on TPU even against the dummy atlas.
+    if scene.has_textures:
+        n_idx = shade[:, 43].astype(jnp.int32)
+        has_nm = n_idx >= 0
+        nm_lod = base_lod + jnp.log2(tex_width(n_idx).astype(jnp.float32))
+        ns = sample_trilinear(scene.atlas, scene.tex_offset, scene.tex_size,
+                              n_idx, uv, nm_lod)[..., :3] * 2.0 - 1.0
+        scale = shade[:, 39]
+        ns = _normalize(ns * jnp.stack([scale, scale, jnp.ones_like(scale)],
+                                       axis=-1))
+        tbn = brdf_lib.make_tbn_with_tangent(normal, tangent)
+        mapped = _normalize(brdf_lib.tangent_to_world(ns, tbn))
+        normal = jnp.where(has_nm[..., None], mapped, normal)
 
     def tex_sample(slot_col):
         idx = shade[:, slot_col].astype(jnp.int32)
+        if not scene.has_textures:
+            shape = idx.shape + (4,)
+            return jnp.ones(shape, jnp.float32), idx >= 0
         lod = base_lod + jnp.log2(tex_width(idx).astype(jnp.float32))
         s = sample_trilinear(scene.atlas, scene.tex_offset, scene.tex_size,
                              idx, uv, lod)

@@ -19,9 +19,9 @@ from steeljax.accel.dispatch import TraceTables
 from steeljax.core.colors import to_linear
 from steeljax.core.constants import (BIAS, DIELECTRIC_F0, EPSILON, RAY_MAX_T,
                                      RAY_MIN_T)
-from steeljax.env.cubemap import sample_cube
+from steeljax.env.cubemap import sample_cube_quads, sample_flat_mips
 from steeljax.env.environment import Environment
-from steeljax.env.ibl import sample_lut
+from steeljax.env.ibl import sample_lut_quads
 from steeljax.render.pt import brdf as brdf_lib
 from steeljax.render.pt.integrator import _normalize, trace_visibility
 from steeljax.scene.flatten import FlatScene
@@ -98,13 +98,13 @@ def compute_indirect_lighting(env: Environment, position, n, v, nov,
     if light_volume is not None:
         from steeljax.gi.sample import sample_light_volume
         irradiance = sample_light_volume(light_volume, position, n)
-        env_irradiance = sample_cube(env.irradiance, n)
+        env_irradiance = sample_cube_quads(env.irradiance_quads, n)
         # The reference divides raw (Lighting.glsl:252); bound the ratio so
         # near-zero env irradiance cannot blow up the specular term.
         specular_norm = jnp.clip(
             irradiance / jnp.maximum(env_irradiance, 1e-4), 0.0, 8.0)
     else:
-        irradiance = sample_cube(env.irradiance, n)
+        irradiance = sample_cube_quads(env.irradiance_quads, n)
         specular_norm = jnp.ones_like(irradiance)
 
     ks = brdf_lib.f_schlick_roughness(f0, nov, roughness)
@@ -113,12 +113,11 @@ def compute_indirect_lighting(env: Environment, position, n, v, nov,
     r = 2.0 * jnp.sum(v * n, axis=-1, keepdims=True) * n - v
     mips = len(env.reflection_mips)
     lod = roughness * (mips - 1)
-    from steeljax.env.cubemap import sample_flat_mips
     reflection = sample_flat_mips(env.reflection_data,
                                   env.reflection_offsets,
                                   env.reflection_sizes, r, lod)
 
-    scale_offset = sample_lut(env.specular_lut, nov, roughness)
+    scale_offset = sample_lut_quads(env.specular_lut_quads, nov, roughness)
 
     diffuse = kd * irradiance * base_color
     specular = (f0 * scale_offset[..., 0:1]

@@ -121,18 +121,36 @@ class HybridRenderer:
         self.light_volume = generate_light_volume(
             self.flat, self.tables, spp=spp, **kwargs)
 
-    def render_frame(self) -> np.ndarray:
-        ys, xs = np.meshgrid(np.arange(self.height, dtype=np.int32),
-                             np.arange(self.width, dtype=np.int32),
-                             indexing="ij")
+    def render_frame_device(self) -> jnp.ndarray:
+        """One hybrid frame, left on device as (H*W, 3) in row-major pixel
+        order.  The benchmarking surface: the reference's frame ends at
+        the swapchain image, not at a host download (the axon tunnel's
+        host transfer would otherwise dominate the measurement)."""
+        from steeljax.render.pt.integrator import tiled_order
+
+        tiled = tiled_order(self.width, self.height)
+        if tiled is not None:
+            px, py, inverse = tiled
+        else:
+            ys, xs = np.meshgrid(np.arange(self.height, dtype=np.int32),
+                                 np.arange(self.width, dtype=np.int32),
+                                 indexing="ij")
+            px = jnp.asarray(xs.reshape(-1))
+            py = jnp.asarray(ys.reshape(-1))
+            inverse = None
         out = render_hybrid_pixels(
             self.flat, self.tables, self.env,
             jnp.asarray(self.frame.inverse_view),
             jnp.asarray(self.frame.inverse_proj),
             jnp.asarray(self.frame.view_proj),
             self.frame.camera_near, self.frame.camera_far,
-            self.width, self.height,
-            jnp.asarray(xs.reshape(-1)), jnp.asarray(ys.reshape(-1)),
+            self.width, self.height, px, py,
             light_volume=self.light_volume,
             ray_tracing_enabled=self.config.ray_tracing_enabled)
+        if inverse is not None:
+            out = out[inverse]
+        return out
+
+    def render_frame(self) -> np.ndarray:
+        out = self.render_frame_device()
         return np.asarray(out).reshape(self.height, self.width, 3)
