@@ -37,6 +37,9 @@ class ChunkTables:
     bvh: BVH                    # binary tree (CPU path + stats)
     bvh8: BVH8                  # supernode rows (TPU path)
     tris_packed: jnp.ndarray    # flat lane layout (pack_tris), chunk-local
+    # Fused-shading records (pack_shade_records), chunk-local; None until
+    # attach_shade_tables is called.
+    shade_packed: jnp.ndarray | None = None
     row_offset: int = struct.field(pytree_node=False, default=0)
     rows: int = struct.field(pytree_node=False, default=0)
     # Chunk AABB (static floats) for the per-ray pre-cull.
@@ -48,6 +51,9 @@ class ChunkTables:
 class TraceTables:
     chunks: tuple  # tuple[ChunkTables, ...]
     use_pallas: bool = struct.field(pytree_node=False, default=False)
+    # 0 = trace only; 1 = fuse (normal, mat id) into the kernel;
+    # 2 = also (tangent, uv).  See pallas_traverse.pack_shade_records.
+    shade_mode: int = struct.field(pytree_node=False, default=0)
 
     @property
     def bvh(self) -> BVH:  # convenience for single-chunk callers
@@ -159,6 +165,28 @@ def make_trace_tables(bvh: BVH, tri_pos, tri_double_sided,
     return TraceTables(chunks=(chunk,), use_pallas=bool(use_pallas))
 
 
+def attach_shade_tables(tables: TraceTables, tri_nrm, tri_tan, tri_uv,
+                        tri_mat, textured: bool) -> TraceTables:
+    """Build per-chunk fused-shading record tables from PERMUTED per-
+    triangle arrays (the ones matching the BVH leaf order, padded to the
+    total row count returned by prepare_tables).  Enables the fused
+    trace+shade kernel path (shade_mode 1/2)."""
+    if not tables.use_pallas:
+        return tables
+    tri_nrm = np.asarray(tri_nrm)
+    tri_tan = np.asarray(tri_tan)
+    tri_uv = np.asarray(tri_uv)
+    tri_mat = np.asarray(tri_mat)
+    chunks = []
+    for chunk in tables.chunks:
+        s = slice(chunk.row_offset, chunk.row_offset + chunk.rows)
+        packed = ptv.pack_shade_records(
+            tri_nrm[s], tri_tan[s], tri_uv[s], tri_mat[s], textured)
+        chunks.append(chunk.replace(shade_packed=jnp.asarray(packed)))
+    return tables.replace(chunks=tuple(chunks),
+                          shade_mode=2 if textured else 1)
+
+
 def _chunk_slice(arr, chunk: ChunkTables):
     return jax.lax.slice_in_dim(arr, chunk.row_offset,
                                 chunk.row_offset + chunk.rows, axis=0)
@@ -202,6 +230,8 @@ def trace_nearest(tables: TraceTables, tri_pos, tri_double_sided, o, d,
         else:
             chunk_tmax = tmax
 
+        mode = tables.shade_mode if tables.use_pallas else 0
+
         def run(chunk=chunk, chunk_tmax=chunk_tmax):
             if tables.use_pallas:
                 # Deep trees are leaf-VPU-bound on incoherent packets;
@@ -209,7 +239,8 @@ def trace_nearest(tables: TraceTables, tri_pos, tri_double_sided, o, d,
                 subl = 16 if chunk.rows > 400_000 else ptv.SUBLANES
                 return ptv.trace_nearest_packet8(
                     chunk.bvh8, chunk.tris_packed, o, d, t_min, chunk_tmax,
-                    cull_backface=cull_backface, packet_sublanes=subl)
+                    cull_backface=cull_backface, packet_sublanes=subl,
+                    shade_rows=chunk.shade_packed, shade_mode=mode)
             return traverse.trace_nearest(
                 chunk.bvh, _chunk_slice(tri_pos, chunk),
                 _chunk_slice(tri_double_sided, chunk), o, d, t_min,
@@ -222,6 +253,12 @@ def trace_nearest(tables: TraceTables, tri_pos, tri_double_sided, o, d,
                         "u": jnp.zeros((n,), jnp.float32),
                         "v": jnp.zeros((n,), jnp.float32),
                         "hit": jnp.zeros((n,), bool)}
+            if mode:
+                template["n"] = jnp.zeros((n, 3), jnp.float32)
+                template["mat"] = jnp.zeros((n,), jnp.int32)
+            if mode == 2:
+                template["tan"] = jnp.zeros((n, 3), jnp.float32)
+                template["uv"] = jnp.zeros((n, 2), jnp.float32)
             rec = _skippable(run, any_possible, template)
         else:
             rec = run()
@@ -232,7 +269,9 @@ def trace_nearest(tables: TraceTables, tri_pos, tri_double_sided, o, d,
             best = rec
         else:
             better = rec["hit"] & (~best["hit"] | (rec["t"] < best["t"]))
-            best = {k: jnp.where(better, rec[k], best[k]) for k in best}
+            best = {k: jnp.where(
+                better if best[k].ndim == 1 else better[:, None],
+                rec[k], best[k]) for k in best}
         # Shrink the interval: later chunks only need closer hits.
         tmax = jnp.where(best["hit"], best["t"], tmax)
     return best

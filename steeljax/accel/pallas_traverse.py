@@ -74,6 +74,41 @@ def pack_nodes(nodes: np.ndarray) -> np.ndarray:
     return np.asarray(nodes, np.float32)
 
 
+def pack_shade_records(tri_nrm, tri_tan, tri_uv, tri_mat,
+                       textured: bool) -> np.ndarray:
+    """Per-triangle shading records for the FUSED trace+shade kernel.
+
+    A TPU XLA gather costs ~12 ns per *index* regardless of row width
+    (measured on-chip), so the post-trace `tri_shade[tri]` row gather was
+    ~2x the whole traversal kernel per bounce.  Instead the kernel
+    interpolates vertex attributes per candidate hit and keeps the winner
+    via selects — cost independent of scene size, no gather at all.
+
+    Layouts (lane-packed like pack_tris, rows of 128 f32):
+      untextured (16 f32/record, 8 per row, same row index as tris_packed):
+        [n0.xyz, n1.xyz, n2.xyz, mat, pad x6]
+      textured (32 f32/record, 4 per row => 2 shade rows per tris row):
+        [... as above ..., t0.xyz, t1.xyz, t2.xyz,
+         uv0.xy, uv1.xy, uv2.xy, pad x...]
+    """
+    nrm = np.asarray(tri_nrm, np.float32)
+    t = nrm.shape[0]
+    size = 32 if textured else 16
+    # Pad the record count to a multiple of 8 so the shade table spans
+    # exactly (size // 16) rows per tris_packed row — the kernel indexes
+    # shade rows as multiples of the tris row index.
+    t_pad = -(-max(t, 1) // 8) * 8
+    packed = np.zeros((t_pad, size), np.float32)
+    if t:
+        packed[:t, 0:9] = nrm.reshape(t, 9)
+        packed[:t, 9] = np.asarray(tri_mat, np.float32)
+        if textured:
+            packed[:t, 10:19] = np.asarray(
+                tri_tan, np.float32).reshape(t, 9)
+            packed[:t, 19:25] = np.asarray(tri_uv, np.float32).reshape(t, 6)
+    return _flatten_records(packed)
+
+
 def _traverse_kernel(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
                      tmn, tmx, out_t, out_u, out_v, out_i,
                      stack_ref, sp_ref, bt_ref, bu_ref, bv_ref, bi_ref,
@@ -285,19 +320,44 @@ def trace_nearest_packet(bvh: BVH, nodes_packed, tris_packed, o, d,
 _LEAF_BITS = 21  # tri_row index bits (supports 2^21 * 8 = 16M triangles)
 
 
-def _traverse_kernel8(snodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
-                      tmn, tmx, out_t, out_u, out_v, out_i,
-                      stack_ref, sp_ref, bt_ref, bu_ref, bv_ref, bi_ref,
-                      *, max_leaf: int,
-                      cull_backface: bool, any_hit: bool = False):
+def _traverse_kernel8(*refs, max_leaf: int,
+                      cull_backface: bool, any_hit: bool = False,
+                      shade_mode: int = 0):
     """Packet traversal over BVH8 supernode rows (steeljax.accel.bvh.BVH8).
 
     Stack entries encode both node kinds: >= 0 is a supernode id; < 0 is a
     leaf range enc = -(row | count << 21) - 1 with row = start // 8.
     One pop either slab-tests 8 children from one dense row (static lane
     extracts) or intersects one leaf's triangle rows.
+
+    shade_mode > 0 FUSES shading-attribute extraction into the leaf loop
+    (pack_shade_records layouts): vertex attributes are interpolated per
+    candidate hit from scalar record reads and the winner is kept by
+    select — replacing the post-trace `tri_shade[tri]` row gather, which
+    costs ~12 ns/index on TPU (more than the whole traversal per bounce).
+    Mode 1 emits (normal, material id); mode 2 adds (tangent, uv).
     """
     f32 = jnp.float32
+    it = iter(refs)
+    snodes_ref = next(it)
+    tris_ref = next(it)
+    shade_ref = next(it) if shade_mode else None
+    ox, oy, oz, dx, dy, dz, tmn, tmx = (next(it) for _ in range(8))
+    out_t, out_u, out_v, out_i = (next(it) for _ in range(4))
+    if shade_mode:
+        out_nx, out_ny, out_nz, out_mat = (next(it) for _ in range(4))
+    if shade_mode == 2:
+        out_tx, out_ty, out_tz, out_ux, out_uy = (
+            next(it) for _ in range(5))
+    stack_ref = next(it)
+    sp_ref = next(it)
+    bt_ref, bu_ref, bv_ref, bi_ref = (next(it) for _ in range(4))
+    if shade_mode:
+        bnx_ref, bny_ref, bnz_ref, bmat_ref, bdet_ref = (
+            next(it) for _ in range(5))
+    if shade_mode == 2:
+        btx_ref, bty_ref, btz_ref, bux_ref, buy_ref = (
+            next(it) for _ in range(5))
 
     def safe_inv(d):
         return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
@@ -311,6 +371,18 @@ def _traverse_kernel8(snodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
     bu_ref[:] = jnp.zeros_like(tmx[:])
     bv_ref[:] = jnp.zeros_like(tmx[:])
     bi_ref[:] = jnp.full(tmx.shape, -1, jnp.int32)
+    if shade_mode:
+        bnx_ref[:] = jnp.zeros_like(tmx[:])
+        bny_ref[:] = jnp.zeros_like(tmx[:])
+        bnz_ref[:] = jnp.ones_like(tmx[:])
+        bmat_ref[:] = jnp.zeros_like(tmx[:])
+        bdet_ref[:] = jnp.ones_like(tmx[:])
+    if shade_mode == 2:
+        btx_ref[:] = jnp.ones_like(tmx[:])
+        bty_ref[:] = jnp.zeros_like(tmx[:])
+        btz_ref[:] = jnp.zeros_like(tmx[:])
+        bux_ref[:] = jnp.zeros_like(tmx[:])
+        buy_ref[:] = jnp.zeros_like(tmx[:])
 
     stack_ref[0] = 0
     sp_ref[0] = 1
@@ -386,6 +458,11 @@ def _traverse_kernel8(snodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
             cnt = enc >> _LEAF_BITS
             for r in range(max_leaf // 8):
                 trow = tris_ref[row_base + r]  # (128,) = 8 records
+                if shade_mode == 1:
+                    srow0 = shade_ref[row_base + r]
+                elif shade_mode == 2:
+                    srow0 = shade_ref[(row_base + r) * 2]
+                    srow1 = shade_ref[(row_base + r) * 2 + 1]
                 for j in range(8):
                     l = r * 8 + j
                     off = 16 * j
@@ -428,6 +505,45 @@ def _traverse_kernel8(snodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
                     bv_ref[:] = jnp.where(hit, v, bv_ref[:])
                     bi_ref[:] = jnp.where(
                         hit, row_base * 8 + jnp.int32(l), bi_ref[:])
+                    if shade_mode:
+                        if shade_mode == 1:
+                            srow, soff = srow0, off
+                        else:
+                            srow = srow0 if j < 4 else srow1
+                            soff = 32 * (j % 4)
+                        # Candidate-hit attribute interpolation: the
+                        # barycentrics are live vectors, the record fields
+                        # are scalars, so interp is 3 FMAs/component and
+                        # the winner costs one select/component.
+                        wb = 1.0 - u - v
+                        bnx_ref[:] = jnp.where(
+                            hit, srow[soff + 0] * wb + srow[soff + 3] * u
+                            + srow[soff + 6] * v, bnx_ref[:])
+                        bny_ref[:] = jnp.where(
+                            hit, srow[soff + 1] * wb + srow[soff + 4] * u
+                            + srow[soff + 7] * v, bny_ref[:])
+                        bnz_ref[:] = jnp.where(
+                            hit, srow[soff + 2] * wb + srow[soff + 5] * u
+                            + srow[soff + 8] * v, bnz_ref[:])
+                        bmat_ref[:] = jnp.where(
+                            hit, srow[soff + 9], bmat_ref[:])
+                        bdet_ref[:] = jnp.where(hit, det, bdet_ref[:])
+                    if shade_mode == 2:
+                        btx_ref[:] = jnp.where(
+                            hit, srow[soff + 10] * wb + srow[soff + 13] * u
+                            + srow[soff + 16] * v, btx_ref[:])
+                        bty_ref[:] = jnp.where(
+                            hit, srow[soff + 11] * wb + srow[soff + 14] * u
+                            + srow[soff + 17] * v, bty_ref[:])
+                        btz_ref[:] = jnp.where(
+                            hit, srow[soff + 12] * wb + srow[soff + 15] * u
+                            + srow[soff + 18] * v, btz_ref[:])
+                        bux_ref[:] = jnp.where(
+                            hit, srow[soff + 19] * wb + srow[soff + 21] * u
+                            + srow[soff + 23] * v, bux_ref[:])
+                        buy_ref[:] = jnp.where(
+                            hit, srow[soff + 20] * wb + srow[soff + 22] * u
+                            + srow[soff + 24] * v, buy_ref[:])
             if any_hit:
                 @pl.when(jnp.all(bi_ref[:] >= 0))
                 def _done():
@@ -441,16 +557,38 @@ def _traverse_kernel8(snodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
     out_u[:] = bu_ref[:]
     out_v[:] = bv_ref[:]
     out_i[:] = bi_ref[:]
+    if shade_mode:
+        # Normalize + backface flip (ClosestHit.rchit:67-70): det < 0 is
+        # the winding-based hit-kind (det = -d . geometric_normal).
+        n2 = (bnx_ref[:] * bnx_ref[:] + bny_ref[:] * bny_ref[:]
+              + bnz_ref[:] * bnz_ref[:])
+        sgn = jnp.where(bdet_ref[:] < 0.0, f32(-1.0), f32(1.0))
+        inv_n = sgn * jax.lax.rsqrt(jnp.maximum(n2, 1e-20))
+        out_nx[:] = bnx_ref[:] * inv_n
+        out_ny[:] = bny_ref[:] * inv_n
+        out_nz[:] = bnz_ref[:] * inv_n
+        out_mat[:] = bmat_ref[:].astype(jnp.int32)
+    if shade_mode == 2:
+        t2 = (btx_ref[:] * btx_ref[:] + bty_ref[:] * bty_ref[:]
+              + btz_ref[:] * btz_ref[:])
+        inv_t = jax.lax.rsqrt(jnp.maximum(t2, 1e-20))
+        out_tx[:] = btx_ref[:] * inv_t
+        out_ty[:] = bty_ref[:] * inv_t
+        out_tz[:] = btz_ref[:] * inv_t
+        out_ux[:] = bux_ref[:]
+        out_uy[:] = buy_ref[:]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("max_leaf", "depth", "cull_backface", "any_hit",
-                     "packet_sublanes"))
+                     "packet_sublanes", "shade_mode"))
 def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
                    max_leaf: int, depth: int,
                    cull_backface: bool, any_hit: bool = False,
-                   packet_sublanes: int = SUBLANES):
+                   packet_sublanes: int = SUBLANES,
+                   shade_rows: jnp.ndarray | None = None,
+                   shade_mode: int = 0):
     count = o.shape[0]
     block = LANES * packet_sublanes
     padded = -(-count // block) * block
@@ -476,50 +614,80 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
 
     kernel = functools.partial(
         _traverse_kernel8, max_leaf=max_leaf,
-        cull_backface=cull_backface, any_hit=any_hit)
+        cull_backface=cull_backface, any_hit=any_hit,
+        shade_mode=shade_mode)
 
-    out_shape = [
-        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+    f32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    i32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+    out_shape = [f32tile, f32tile, f32tile, i32tile]
+    n_shade_out = 0
+    if shade_mode:
+        out_shape += [f32tile, f32tile, f32tile, i32tile]
+        n_shade_out += 4
+    if shade_mode == 2:
+        out_shape += [f32tile] * 5
+        n_shade_out += 5
+
+    vmem = lambda dt: pltpu.VMEM((packet_sublanes, LANES), dt)
+    scratch = [
+        pltpu.SMEM((8 * depth + 16,), jnp.int32),  # encoded stack
+        pltpu.SMEM((1,), jnp.int32),
+        vmem(jnp.float32), vmem(jnp.float32), vmem(jnp.float32),
+        vmem(jnp.int32),
     ]
-    t, u, v, idx = pl.pallas_call(
+    if shade_mode:
+        scratch += [vmem(jnp.float32)] * 5     # bn xyz, bmat, bdet
+    if shade_mode == 2:
+        scratch += [vmem(jnp.float32)] * 5     # bt xyz, buv xy
+
+    inputs = [snode_rows, tris_packed]
+    in_specs = [full, full]
+    if shade_mode:
+        inputs.append(shade_rows)
+        in_specs.append(full)
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[full, full] + [ray_spec] * 8,
-        out_specs=[ray_spec] * 4,
+        in_specs=in_specs + [ray_spec] * 8,
+        out_specs=[ray_spec] * len(out_shape),
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.SMEM((8 * depth + 16,), jnp.int32),  # encoded stack
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((packet_sublanes, LANES), jnp.float32),
-            pltpu.VMEM((packet_sublanes, LANES), jnp.float32),
-            pltpu.VMEM((packet_sublanes, LANES), jnp.float32),
-            pltpu.VMEM((packet_sublanes, LANES), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
-    )(snode_rows, tris_packed, *comps)
+    )(*inputs, *comps)
 
-    t = t.reshape(-1)[:count]
-    u = u.reshape(-1)[:count]
-    v = v.reshape(-1)[:count]
-    idx = idx.reshape(-1)[:count]
-    hit = idx >= 0
-    return {"t": t, "tri": idx, "u": u, "v": v, "hit": hit}
+    def unpad(x):
+        return x.reshape(-1)[:count]
+
+    t, u, v, idx = (unpad(x) for x in outs[:4])
+    rec = {"t": t, "tri": idx, "u": u, "v": v, "hit": idx >= 0}
+    if shade_mode:
+        nx, ny, nz, mat = (unpad(x) for x in outs[4:8])
+        rec["n"] = jnp.stack([nx, ny, nz], axis=-1)
+        rec["mat"] = mat
+    if shade_mode == 2:
+        tx, ty, tz, ux, uy = (unpad(x) for x in outs[8:13])
+        rec["tan"] = jnp.stack([tx, ty, tz], axis=-1)
+        rec["uv"] = jnp.stack([ux, uy], axis=-1)
+    return rec
 
 
 def trace_nearest_packet8(bvh8, tris_packed, o, d, t_min, t_max,
                           cull_backface: bool = True,
                           any_hit: bool = False,
-                          packet_sublanes: int = SUBLANES):
-    """BVH8 packet traversal; same contract as traverse.trace_nearest."""
+                          packet_sublanes: int = SUBLANES,
+                          shade_rows=None, shade_mode: int = 0):
+    """BVH8 packet traversal; same contract as traverse.trace_nearest.
+    With shade_mode > 0 (and shade_rows from pack_shade_records) the
+    record also carries fused shading attributes: "n" + "mat" (mode 1),
+    plus "tan" + "uv" (mode 2)."""
     return _trace_packed8(bvh8.rows, tris_packed, o, d,
                           jnp.asarray(t_min, jnp.float32),
                           jnp.asarray(t_max, jnp.float32),
                           bvh8.max_leaf, bvh8.depth, cull_backface, any_hit,
-                          packet_sublanes=packet_sublanes)
+                          packet_sublanes=packet_sublanes,
+                          shade_rows=shade_rows, shade_mode=shade_mode)
 
 
 # ---------------------------------------------------------------------------

@@ -216,6 +216,80 @@ def trace_visibility(scene: FlatScene, tables: TraceTables, o, d,
     return rec["hit"]
 
 
+def material_select(scene: FlatScene, mid):
+    """Per-ray material constants WITHOUT a gather: a static chain of M
+    selects over the (M, C) material tables.  TPU XLA gathers cost
+    ~12 ns/index regardless of row width, so for the typical M (a few to
+    a few dozen materials) M wide selects are 10-50x cheaper; scenes with
+    >96 materials fall back to the gather.
+
+    Returns (packed_row (N, 16), emission_linear (N, 3), tex_ids (N, 5)).
+    """
+    m = scene.mat_packed.shape[0]
+    if m > 96:
+        return (scene.mat_packed[mid], scene.mat_emission_linear[mid],
+                scene.mat_tex[mid])
+    packed = jnp.broadcast_to(scene.mat_packed[0],
+                              mid.shape + (scene.mat_packed.shape[1],))
+    em = jnp.broadcast_to(scene.mat_emission_linear[0], mid.shape + (3,))
+    tex = jnp.broadcast_to(scene.mat_tex[0], mid.shape + (5,))
+    for k in range(1, m):
+        sel = (mid == k)[..., None]
+        packed = jnp.where(sel, scene.mat_packed[k], packed)
+        em = jnp.where(sel, scene.mat_emission_linear[k], em)
+        if scene.has_textures:
+            tex = jnp.where(sel, scene.mat_tex[k], tex)
+    return packed, em, tex
+
+
+def unpack_material_fused(scene: FlatScene, rec):
+    """Surface + TBN from FUSED kernel shading outputs (rec carries the
+    interpolated/normalized/backface-flipped normal, material id, and in
+    textured scenes tangent + uv) — replaces the tri_shade row gather of
+    unpack_material with a material select-chain (material_select)."""
+    normal = rec["n"]
+    mrow, emission, tex = material_select(scene, rec["mat"])
+
+    base_color = mrow[:, 13:16]         # ToLinear(factor) precomputed
+    roughness = mrow[:, 7]
+    metallic = mrow[:, 8]
+
+    tbn = brdf_lib.make_tbn(normal)
+    if scene.has_textures:
+        uv = rec["uv"]
+        tangent = rec["tan"]
+
+        def tex_rgb(idx):
+            sample = sample_bilinear(scene.atlas, scene.tex_offset,
+                                     scene.tex_size, idx, uv)
+            return jnp.where((idx >= 0)[..., None], sample[..., :3], 1.0)
+
+        n_idx = tex[:, 2]
+        has_nm = n_idx >= 0
+        ns = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
+                             n_idx, uv)[..., :3] * 2.0 - 1.0
+        scale = mrow[:, 9]
+        ns = _normalize(ns * jnp.stack(
+            [scale, scale, jnp.ones_like(scale)], axis=-1))
+        tbn_t = brdf_lib.make_tbn_with_tangent(normal, tangent)
+        perturbed = _normalize(brdf_lib.tangent_to_world(ns, tbn_t))
+        tbn_nm = brdf_lib.make_tbn(perturbed)
+        tbn = tuple(
+            jnp.where(has_nm[..., None], a, b) for a, b in zip(tbn_nm, tbn))
+
+        base_color = to_linear(mrow[:, 0:3] * tex_rgb(tex[:, 0]))
+        rm_idx = tex[:, 1]
+        rm = sample_bilinear(scene.atlas, scene.tex_offset, scene.tex_size,
+                             rm_idx, uv)
+        roughness = roughness * jnp.where(rm_idx >= 0, rm[..., 1], 1.0)
+        metallic = metallic * jnp.where(rm_idx >= 0, rm[..., 2], 1.0)
+        emission = to_linear(mrow[:, 4:7] * tex_rgb(tex[:, 4]))
+
+    surface = brdf_lib.make_surface(base_color, roughness, metallic,
+                                    emission)
+    return surface, tbn
+
+
 def unpack_material(scene: FlatScene, rec, ray_d, shade=None):
     """ClosestHit attribute interpolation + UnpackMaterial
     (RayGen.rgen:72-115).  Returns (surface dict, tbn).
@@ -431,8 +505,11 @@ def trace_paths(scene: FlatScene, tables: TraceTables, o, d, seed,
 
             alive = alive & rec["hit"]
 
-            surface, tbn = unpack_material(
-                scene, rec, d, shade_rows(scene, tables, rec))
+            if "n" in rec:  # fused trace+shade kernel outputs
+                surface, tbn = unpack_material_fused(scene, rec)
+            else:
+                surface, tbn = unpack_material(
+                    scene, rec, d, shade_rows(scene, tables, rec))
 
             # Emission (RayGen.rgen:361).
             irradiance = irradiance + jnp.where(

@@ -102,6 +102,16 @@ def prepare_scene(scene: Scene, env_resolution: int = 256,
         tri_double_sided=jnp.asarray(permuted["tri_double_sided"]),
         tri_shade=jnp.asarray(permuted["tri_shade"]),
     )
+    # Fused trace+shade kernel tables (TPU): the kernel emits interpolated
+    # shading attributes, killing the per-bounce tri_shade row gather
+    # (~12 ns/index on TPU).  Alpha-test scenes keep the gather path (the
+    # bounded any-hit re-trace reads full rows).
+    if not flat.any_alpha_test:
+        from steeljax.accel.dispatch import attach_shade_tables
+        tables = attach_shade_tables(
+            tables, permuted["tri_nrm"], permuted["tri_tan"],
+            permuted["tri_uv"], permuted["tri_mat"],
+            textured=flat.has_textures)
     return flat, tables
 
 
