@@ -166,22 +166,32 @@ def make_trace_tables(bvh: BVH, tri_pos, tri_double_sided,
 
 
 def attach_shade_tables(tables: TraceTables, tri_nrm, tri_tan, tri_uv,
-                        tri_mat, textured: bool) -> TraceTables:
+                        tri_mat, textured: bool,
+                        tri_uvd=None) -> TraceTables:
     """Build per-chunk fused-shading record tables from PERMUTED per-
     triangle arrays (the ones matching the BVH leaf order, padded to the
     total row count returned by prepare_tables).  Enables the fused
     trace+shade kernel path (shade_mode 1/2)."""
     if not tables.use_pallas:
         return tables
+    # The shade table shares chunk VMEM with tris_packed (+64 B/tri in
+    # mode 1, +128 B/tri in mode 2); past ~400k-row chunks the combined
+    # footprint spills VMEM and the kernel collapses (measured 23 -> 0.4
+    # Mray/s on the 1.6M-tri stress scene).  Huge chunks keep the gather
+    # path, whose fixed ~12 ns/ray cost is small next to their trace.
+    if max(chunk.rows for chunk in tables.chunks) > 400_000:
+        return tables
     tri_nrm = np.asarray(tri_nrm)
     tri_tan = np.asarray(tri_tan)
     tri_uv = np.asarray(tri_uv)
     tri_mat = np.asarray(tri_mat)
+    tri_uvd = None if tri_uvd is None else np.asarray(tri_uvd)
     chunks = []
     for chunk in tables.chunks:
         s = slice(chunk.row_offset, chunk.row_offset + chunk.rows)
         packed = ptv.pack_shade_records(
-            tri_nrm[s], tri_tan[s], tri_uv[s], tri_mat[s], textured)
+            tri_nrm[s], tri_tan[s], tri_uv[s], tri_mat[s], textured,
+            tri_uvd=None if tri_uvd is None else tri_uvd[s])
         chunks.append(chunk.replace(shade_packed=jnp.asarray(packed)))
     return tables.replace(chunks=tuple(chunks),
                           shade_mode=2 if textured else 1)

@@ -56,6 +56,10 @@ class InstancedTables:
     depth: int = struct.field(pytree_node=False)
     max_leaf: int = struct.field(pytree_node=False)
     use_pallas: bool = struct.field(pytree_node=False, default=False)
+    # Scene bounds (device arrays, so instance motion never recompiles) —
+    # feed the ray-coherence sort keys (integrator.scene_bounds).
+    aabb_lo: jnp.ndarray | None = None
+    aabb_hi: jnp.ndarray | None = None
     # CPU/test path: per-instance python loop over per-BLAS tables.
     cpu_blas: tuple = struct.field(default=())          # tuple[CpuBlas]
     inst_blas: tuple = struct.field(pytree_node=False, default=())
@@ -343,6 +347,10 @@ class InstancedAccel:
             depth=tlas_depth + 1 + max_blas_depth,
             max_leaf=self.leaf_size,
             use_pallas=self.use_pallas,
+            aabb_lo=jnp.asarray(lo.min(axis=0) if count else
+                                np.zeros(3, np.float32)),
+            aabb_hi=jnp.asarray(hi.max(axis=0) if count else
+                                np.ones(3, np.float32)),
             cpu_blas=cpu_blas,
             inst_blas=tuple(blas_index[k] for k in cpu_blas_keys),
             blas_tri_offset=tuple(

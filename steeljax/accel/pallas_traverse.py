@@ -45,6 +45,11 @@ LANES = 128
 SUBLANES = 32  # default packet = 4096 rays: fewer scalar pops per ray
 BLOCK = LANES * SUBLANES  # rays per packet
 
+# Tests flip this to run the kernels in Pallas interpret mode on CPU
+# (tests/conftest.py forces the CPU platform), giving the kernel logic CI
+# coverage without a TPU.  Kernel jit caches key on it.
+INTERPRET = False
+
 _DET_EPS = 1e-12
 
 
@@ -75,7 +80,7 @@ def pack_nodes(nodes: np.ndarray) -> np.ndarray:
 
 
 def pack_shade_records(tri_nrm, tri_tan, tri_uv, tri_mat,
-                       textured: bool) -> np.ndarray:
+                       textured: bool, tri_uvd=None) -> np.ndarray:
     """Per-triangle shading records for the FUSED trace+shade kernel.
 
     A TPU XLA gather costs ~12 ns per *index* regardless of row width
@@ -89,7 +94,7 @@ def pack_shade_records(tri_nrm, tri_tan, tri_uv, tri_mat,
         [n0.xyz, n1.xyz, n2.xyz, mat, pad x6]
       textured (32 f32/record, 4 per row => 2 shade rows per tris row):
         [... as above ..., t0.xyz, t1.xyz, t2.xyz,
-         uv0.xy, uv1.xy, uv2.xy, pad x...]
+         uv0.xy, uv1.xy, uv2.xy, uv_density, pad x...]
     """
     nrm = np.asarray(tri_nrm, np.float32)
     t = nrm.shape[0]
@@ -105,7 +110,10 @@ def pack_shade_records(tri_nrm, tri_tan, tri_uv, tri_mat,
         if textured:
             packed[:t, 10:19] = np.asarray(
                 tri_tan, np.float32).reshape(t, 9)
-            packed[:t, 19:25] = np.asarray(tri_uv, np.float32).reshape(t, 6)
+            uv = np.asarray(tri_uv, np.float32)
+            packed[:t, 19:25] = uv.reshape(t, 6)
+            if tri_uvd is not None:
+                packed[:t, 25] = np.asarray(tri_uvd, np.float32)
     return _flatten_records(packed)
 
 
@@ -176,7 +184,8 @@ def _traverse_kernel(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
         def _leaf():
             base = meta0  # 8-aligned (bvh._align_leaves)
             row_base = base // 8
-            for r in range(max_leaf // 8):
+
+            def intersect_row(r):
                 trow = tris_ref[row_base + r]  # (128,) = 8 records
                 for j in range(8):
                     l = r * 8 + j
@@ -219,6 +228,10 @@ def _traverse_kernel(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
                     bu_ref[:] = jnp.where(hit, u, bu_ref[:])
                     bv_ref[:] = jnp.where(hit, v, bv_ref[:])
                     bi_ref[:] = jnp.where(hit, base + jnp.int32(l), bi_ref[:])
+
+            intersect_row(0)
+            for r in range(1, max_leaf // 8):
+                pl.when(cnt > r * 8)(functools.partial(intersect_row, r))
             if any_hit:
                 # Occlusion query: once every ray in the packet is blocked
                 # there is nothing left to refine.
@@ -288,6 +301,7 @@ def _trace_packed(nodes, tris_packed, o, d, t_min, t_max,
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # best v
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),    # best idx
         ],
+        interpret=INTERPRET,
     )(nodes, tris_packed, *comps)
 
     t = t.reshape(-1)[:count]
@@ -347,8 +361,8 @@ def _traverse_kernel8(*refs, max_leaf: int,
     if shade_mode:
         out_nx, out_ny, out_nz, out_mat = (next(it) for _ in range(4))
     if shade_mode == 2:
-        out_tx, out_ty, out_tz, out_ux, out_uy = (
-            next(it) for _ in range(5))
+        out_tx, out_ty, out_tz, out_ux, out_uy, out_uvd = (
+            next(it) for _ in range(6))
     stack_ref = next(it)
     sp_ref = next(it)
     bt_ref, bu_ref, bv_ref, bi_ref = (next(it) for _ in range(4))
@@ -356,8 +370,8 @@ def _traverse_kernel8(*refs, max_leaf: int,
         bnx_ref, bny_ref, bnz_ref, bmat_ref, bdet_ref = (
             next(it) for _ in range(5))
     if shade_mode == 2:
-        btx_ref, bty_ref, btz_ref, bux_ref, buy_ref = (
-            next(it) for _ in range(5))
+        btx_ref, bty_ref, btz_ref, bux_ref, buy_ref, buvd_ref = (
+            next(it) for _ in range(6))
 
     def safe_inv(d):
         return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
@@ -383,6 +397,7 @@ def _traverse_kernel8(*refs, max_leaf: int,
         btz_ref[:] = jnp.zeros_like(tmx[:])
         bux_ref[:] = jnp.zeros_like(tmx[:])
         buy_ref[:] = jnp.zeros_like(tmx[:])
+        buvd_ref[:] = jnp.zeros_like(tmx[:])
 
     stack_ref[0] = 0
     sp_ref[0] = 1
@@ -456,7 +471,8 @@ def _traverse_kernel8(*refs, max_leaf: int,
             enc = -entry - 1
             row_base = enc & ((1 << _LEAF_BITS) - 1)
             cnt = enc >> _LEAF_BITS
-            for r in range(max_leaf // 8):
+
+            def intersect_row(r):
                 trow = tris_ref[row_base + r]  # (128,) = 8 records
                 if shade_mode == 1:
                     srow0 = shade_ref[row_base + r]
@@ -544,6 +560,15 @@ def _traverse_kernel8(*refs, max_leaf: int,
                         buy_ref[:] = jnp.where(
                             hit, srow[soff + 20] * wb + srow[soff + 22] * u
                             + srow[soff + 24] * v, buy_ref[:])
+                        buvd_ref[:] = jnp.where(
+                            hit, srow[soff + 25], buvd_ref[:])
+
+            # SAH leaves usually hold far fewer than max_leaf triangles;
+            # gate each 8-record row on the actual count so a cnt<=8 leaf
+            # pays 1/3 of the row math (row 0 always runs: cnt >= 1).
+            intersect_row(0)
+            for r in range(1, max_leaf // 8):
+                pl.when(cnt > r * 8)(functools.partial(intersect_row, r))
             if any_hit:
                 @pl.when(jnp.all(bi_ref[:] >= 0))
                 def _done():
@@ -577,6 +602,7 @@ def _traverse_kernel8(*refs, max_leaf: int,
         out_tz[:] = btz_ref[:] * inv_t
         out_ux[:] = bux_ref[:]
         out_uy[:] = buy_ref[:]
+        out_uvd[:] = buvd_ref[:]
 
 
 @functools.partial(
@@ -625,8 +651,8 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
         out_shape += [f32tile, f32tile, f32tile, i32tile]
         n_shade_out += 4
     if shade_mode == 2:
-        out_shape += [f32tile] * 5
-        n_shade_out += 5
+        out_shape += [f32tile] * 6
+        n_shade_out += 6
 
     vmem = lambda dt: pltpu.VMEM((packet_sublanes, LANES), dt)
     scratch = [
@@ -638,7 +664,7 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
     if shade_mode:
         scratch += [vmem(jnp.float32)] * 5     # bn xyz, bmat, bdet
     if shade_mode == 2:
-        scratch += [vmem(jnp.float32)] * 5     # bt xyz, buv xy
+        scratch += [vmem(jnp.float32)] * 6     # bt xyz, buv xy, buvd
 
     inputs = [snode_rows, tris_packed]
     in_specs = [full, full]
@@ -655,6 +681,7 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=INTERPRET,
     )(*inputs, *comps)
 
     def unpad(x):
@@ -667,9 +694,10 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
         rec["n"] = jnp.stack([nx, ny, nz], axis=-1)
         rec["mat"] = mat
     if shade_mode == 2:
-        tx, ty, tz, ux, uy = (unpad(x) for x in outs[8:13])
+        tx, ty, tz, ux, uy, uvd = (unpad(x) for x in outs[8:14])
         rec["tan"] = jnp.stack([tx, ty, tz], axis=-1)
         rec["uv"] = jnp.stack([ux, uy], axis=-1)
+        rec["uvd"] = uvd
     return rec
 
 
@@ -829,7 +857,8 @@ def _traverse_kernel8_inst(snodes_ref, tris_ref, inst_ref,
                 cnt = payload >> _INST_LEAF_BITS
                 inst = cur_inst_ref[0]
                 inst_ds = cur_ds_ref[0]
-                for r in range(max_leaf // 8):
+
+                def intersect_row(r):
                     trow = tris_ref[row_base + r]
                     for j in range(8):
                         l = r * 8 + j
@@ -875,6 +904,14 @@ def _traverse_kernel8_inst(snodes_ref, tris_ref, inst_ref,
                         bi_ref[:] = jnp.where(
                             hit, row_base * 8 + jnp.int32(l), bi_ref[:])
                         binst_ref[:] = jnp.where(hit, inst, binst_ref[:])
+
+                # Row gating: see the single-level kernel — leaves rarely
+                # hold max_leaf triangles, so skip whole 8-record rows
+                # beyond the actual count.
+                intersect_row(0)
+                for r in range(1, max_leaf // 8):
+                    pl.when(cnt > r * 8)(functools.partial(intersect_row,
+                                                           r))
                 if any_hit:
                     @pl.when(jnp.all(bi_ref[:] >= 0))
                     def _done():
@@ -1007,6 +1044,7 @@ def _trace_packed8_inst(snode_rows, tris_packed, inst_trace, o, d,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=INTERPRET,
     )(snode_rows, tris_packed, inst_trace, *comps)
 
     t = t.reshape(-1)[:count]

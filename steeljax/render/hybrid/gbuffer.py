@@ -107,29 +107,64 @@ def generate_gbuffer(scene: FlatScene, tables: TraceTables, o, d,
     tri = jnp.maximum(rec["tri"], 0)
     u, v = rec["u"], rec["v"]
     hit = rec["hit"]
-
-    shade = scene.tri_shade[tri]                     # (N, 56)
     p = o + d * rec["t"][..., None]
-    uv = _interp_cols(shade, 18, u, v, width=2)
-    normal = _normalize(_interp_cols(shade, 0, u, v))
-    tangent = _normalize(_interp_cols(shade, 9, u, v))
+
+    fused = "n" in rec  # fused trace+shade kernel outputs (accel.dispatch)
+    if fused:
+        from steeljax.render.pt.integrator import material_select
+        mrow, _, tex_ids = material_select(scene, rec["mat"])
+        # The kernel already interpolated/normalized the normal and
+        # flipped it by winding; with backface culling on, visible
+        # single-sided hits are always front-facing, so the flip fires
+        # exactly for double-sided backfaces — the FaceForward of
+        # Material.glsl:33-38 (geometric rather than shading-dot test).
+        normal = rec["n"]
+        tangent = rec.get("tan", jnp.zeros_like(normal))
+        uv = rec.get("uv", jnp.zeros(normal.shape[:-1] + (2,), jnp.float32))
+        uv_density = rec.get("uvd", jnp.zeros_like(rec["t"]))
+        cos_inc = jnp.maximum(
+            jnp.abs(jnp.sum(normal * d, axis=-1)), 0.3)
+        flags = mrow[:, 12].astype(jnp.int32)
+        base_factor = mrow[:, 0:3]
+        em_factor = mrow[:, 4:7]
+        rough_factor = mrow[:, 7]
+        metal_factor = mrow[:, 8]
+        normal_scale = mrow[:, 9]
+        occl_strength = mrow[:, 10]
+
+        def slot_idx(slot):
+            return tex_ids[:, slot]
+    else:
+        shade = scene.tri_shade[tri]                 # (N, 56)
+        uv = _interp_cols(shade, 18, u, v, width=2)
+        normal = _normalize(_interp_cols(shade, 0, u, v))
+        tangent = _normalize(_interp_cols(shade, 9, u, v))
+        geom_n = _normalize(shade[:, 24:27])
+        cos_inc = jnp.maximum(jnp.abs(jnp.sum(geom_n * d, axis=-1)), 0.3)
+        uv_density = shade[:, 27]
+        flags = shade[:, 40].astype(jnp.int32)
+        base_factor = shade[:, 46:49]
+        em_factor = shade[:, 49:52]
+        rough_factor = shade[:, 36]
+        metal_factor = shade[:, 37]
+        normal_scale = shade[:, 39]
+        occl_strength = shade[:, 52]
+
+        def slot_idx(slot):
+            col = {0: 41, 1: 42, 2: 43, 3: 44, 4: 45}[slot]
+            return shade[:, col].astype(jnp.int32)
+
+        # DOUBLE_SIDED: FaceForward toward the viewer (Material.glsl:33-38).
+        view = _normalize(camera_position - p)
+        ds_mat = (flags & int(MaterialFlags.DOUBLE_SIDED)) != 0
+        flip = ds_mat & (jnp.sum(normal * view, axis=-1) < 0.0)
+        normal = jnp.where(flip[..., None], -normal, normal)
 
     # Mip lod from the ray footprint (the raster pipeline's implicit
     # derivatives): world footprint ~ t * pixel spread / cos(incidence),
     # converted to texels with the per-triangle uv density.
-    geom_n = _normalize(shade[:, 24:27])
-    cos_inc = jnp.maximum(jnp.abs(jnp.sum(geom_n * d, axis=-1)), 0.3)
-    uv_density = shade[:, 27]
     footprint_uv = (rec["t"] * pixel_spread / cos_inc) * uv_density
     base_lod = jnp.log2(jnp.maximum(footprint_uv, 1e-20))
-
-    flags = shade[:, 40].astype(jnp.int32)
-
-    # DOUBLE_SIDED: FaceForward toward the viewer (Material.glsl:33-38).
-    view = _normalize(camera_position - p)
-    ds_mat = (flags & int(MaterialFlags.DOUBLE_SIDED)) != 0
-    flip = ds_mat & (jnp.sum(normal * view, axis=-1) < 0.0)
-    normal = jnp.where(flip[..., None], -normal, normal)
 
     def tex_width(idx):
         return jnp.maximum(
@@ -139,20 +174,20 @@ def generate_gbuffer(scene: FlatScene, tables: TraceTables, o, d,
     # untextured scenes (the MaterialPipelineCache define analog): texture
     # gathers cost ~10 ms/Mray on TPU even against the dummy atlas.
     if scene.has_textures:
-        n_idx = shade[:, 43].astype(jnp.int32)
+        n_idx = slot_idx(2)
         has_nm = n_idx >= 0
         nm_lod = base_lod + jnp.log2(tex_width(n_idx).astype(jnp.float32))
         ns = sample_trilinear(scene.atlas, scene.tex_offset, scene.tex_size,
                               n_idx, uv, nm_lod)[..., :3] * 2.0 - 1.0
-        scale = shade[:, 39]
+        scale = normal_scale
         ns = _normalize(ns * jnp.stack([scale, scale, jnp.ones_like(scale)],
                                        axis=-1))
         tbn = brdf_lib.make_tbn_with_tangent(normal, tangent)
         mapped = _normalize(brdf_lib.tangent_to_world(ns, tbn))
         normal = jnp.where(has_nm[..., None], mapped, normal)
 
-    def tex_sample(slot_col):
-        idx = shade[:, slot_col].astype(jnp.int32)
+    def tex_sample(slot):
+        idx = slot_idx(slot)
         if not scene.has_textures:
             shape = idx.shape + (4,)
             return jnp.ones(shape, jnp.float32), idx >= 0
@@ -161,20 +196,20 @@ def generate_gbuffer(scene: FlatScene, tables: TraceTables, o, d,
                              idx, uv, lod)
         return s, idx >= 0
 
-    base_tex, has_base = tex_sample(41)
-    base_color = shade[:, 46:49] * jnp.where(
+    base_tex, has_base = tex_sample(0)
+    base_color = base_factor * jnp.where(
         has_base[..., None], base_tex[..., :3], 1.0)
 
-    em_tex, has_em = tex_sample(45)
-    emission = shade[:, 49:52] * jnp.where(
+    em_tex, has_em = tex_sample(4)
+    emission = em_factor * jnp.where(
         has_em[..., None], em_tex[..., :3], 1.0)
 
-    rm_tex, has_rm = tex_sample(42)
-    roughness = shade[:, 36] * jnp.where(has_rm, rm_tex[..., 1], 1.0)
-    metallic = shade[:, 37] * jnp.where(has_rm, rm_tex[..., 2], 1.0)
+    rm_tex, has_rm = tex_sample(1)
+    roughness = rough_factor * jnp.where(has_rm, rm_tex[..., 1], 1.0)
+    metallic = metal_factor * jnp.where(has_rm, rm_tex[..., 2], 1.0)
 
-    occ_tex, has_occ = tex_sample(44)
-    occlusion = shade[:, 52] * jnp.where(has_occ, occ_tex[..., 0], 1.0)
+    occ_tex, has_occ = tex_sample(3)
+    occlusion = occl_strength * jnp.where(has_occ, occ_tex[..., 0], 1.0)
 
     # Reverse-z NDC depth from the (already reverse-depth) projection.
     clip = jnp.einsum("ij,nj->ni", view_proj,

@@ -21,7 +21,6 @@ from steeljax.core.constants import (BIAS, DIELECTRIC_F0, EPSILON, RAY_MAX_T,
                                      RAY_MIN_T)
 from steeljax.env.cubemap import sample_cube_quads, sample_flat_mips
 from steeljax.env.environment import Environment
-from steeljax.env.ibl import sample_lut_quads
 from steeljax.render.pt import brdf as brdf_lib
 from steeljax.render.pt.integrator import _normalize, trace_visibility
 from steeljax.scene.flatten import FlatScene
@@ -91,6 +90,21 @@ def compute_direct_lighting(scene: FlatScene, tables: TraceTables,
     return total
 
 
+def env_brdf_scale_offset(env: Environment, nov, roughness):
+    """Split-sum BRDF scale/offset.  Uses Karis's analytic quartic fit of
+    the LUT ("Physically Based Material on Mobile") — within ~1% of the
+    MC-integrated table, with no per-pixel gather.  The baked LUT remains
+    the parity/verification artifact (env.ibl.specular_brdf_lut,
+    tests/test_ibl.py)."""
+    r = (roughness[..., None]
+         * jnp.asarray([-1.0, -0.0275, -0.572, 0.022], jnp.float32)
+         + jnp.asarray([1.0, 0.0425, 1.04, -0.04], jnp.float32))
+    a004 = (jnp.minimum(r[..., 0] * r[..., 0], jnp.exp2(-9.28 * nov))
+            * r[..., 0] + r[..., 1])
+    return jnp.stack([a004 * -1.04 + r[..., 2],
+                      a004 * 1.04 + r[..., 3]], axis=-1)
+
+
 def compute_indirect_lighting(env: Environment, position, n, v, nov,
                               base_color, f0, roughness, metallic,
                               occlusion, light_volume=None):
@@ -98,6 +112,10 @@ def compute_indirect_lighting(env: Environment, position, n, v, nov,
     if light_volume is not None:
         from steeljax.gi.sample import sample_light_volume
         irradiance = sample_light_volume(light_volume, position, n)
+        # NOTE: an SH-9 Ramamoorthi polynomial was tried here to kill the
+        # cubemap gather (~12 ns/index); it failed the PT/hybrid parity
+        # gate (RMSE 0.066 vs cubemap's 0.026, threshold 0.05) — SH-9
+        # truncation is too lossy on mid-frequency environments.
         env_irradiance = sample_cube_quads(env.irradiance_quads, n)
         # The reference divides raw (Lighting.glsl:252); bound the ratio so
         # near-zero env irradiance cannot blow up the specular term.
@@ -117,7 +135,7 @@ def compute_indirect_lighting(env: Environment, position, n, v, nov,
                                   env.reflection_offsets,
                                   env.reflection_sizes, r, lod)
 
-    scale_offset = sample_lut_quads(env.specular_lut_quads, nov, roughness)
+    scale_offset = env_brdf_scale_offset(env, nov, roughness)
 
     diffuse = kd * irradiance * base_color
     specular = (f0 * scale_offset[..., 0:1]

@@ -139,6 +139,77 @@ def _alpha_rejected(scene: FlatScene, rec, row):
     return rec["hit"] & is_alpha_test & (alpha < row[:, 38])
 
 
+def _part1by2(x):
+    """Spread 5 bits of x across every third bit (Morton interleave)."""
+    x = x & 0x1F
+    x = (x | (x << 8)) & 0x100F
+    x = (x | (x << 4)) & 0x10C3
+    x = (x | (x << 2)) & 0x1249
+    return x
+
+
+def _ray_sort_key(o, d, lo, inv_extent):
+    """18-bit coherence key: 15-bit Morton cell of the origin (5 bits per
+    axis over the scene AABB), direction octant in the low 3 bits."""
+    q = jnp.clip((o - lo) * inv_extent * 32.0, 0.0, 31.0).astype(jnp.int32)
+    morton = (_part1by2(q[:, 0]) | (_part1by2(q[:, 1]) << 1)
+              | (_part1by2(q[:, 2]) << 2))
+    octant = ((d[:, 0] > 0).astype(jnp.int32)
+              | ((d[:, 1] > 0).astype(jnp.int32) << 1)
+              | ((d[:, 2] > 0).astype(jnp.int32) << 2))
+    return (morton << 3) | octant
+
+
+def _total_triangles(tables) -> int:
+    """Static triangle-count estimate for the sort gate."""
+    from steeljax.accel.instances import InstancedTables
+
+    if isinstance(tables, InstancedTables):
+        # Effective size = instances x mean BLAS size (the world the rays
+        # actually traverse), not the deduplicated BLAS triangle pool.
+        n_blas = max(len(tables.blas_tri_offset), 1)
+        mean_blas = max(tables.tris_packed.shape[0] * 8 // n_blas, 1)
+        return tables.inst_trace.shape[0] * mean_blas
+    return sum(c.rows for c in tables.chunks)
+
+
+def scene_bounds(tables) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(lo, inv_extent) for ray-sort keys, from the static chunk AABBs
+    (flat tables) or the device instance bounds (instanced tables)."""
+    from steeljax.accel.instances import InstancedTables
+
+    if isinstance(tables, InstancedTables):
+        return tables.aabb_lo, 1.0 / jnp.maximum(
+            tables.aabb_hi - tables.aabb_lo, 1e-6)
+    lo = np.min([c.aabb[0] for c in tables.chunks], axis=0)
+    hi = np.max([c.aabb[1] for c in tables.chunks], axis=0)
+    return (jnp.asarray(lo, jnp.float32),
+            jnp.asarray(1.0 / np.maximum(hi - lo, 1e-6), jnp.float32))
+
+
+def trace_material_ray_sorted(scene: FlatScene, tables, o, d, t_min, t_max,
+                              cull_backface: bool, max_alpha_retrace: int,
+                              bounds):
+    """trace_material_ray over rays REORDERED by a (Morton origin cell,
+    direction octant) key, with results mapped back.
+
+    Packet traversal's cost for a packet is the UNION of the tree regions
+    its rays touch; after the first diffuse bounce, screen-tile packets
+    are directionally incoherent and sweep far too much of the tree
+    (measured 48 ms of a 79 ms Cornell frame; a 1.6M-tri scene collapsed
+    to 0.37 Mray/s).  argsort + permutation gathers cost well under 1 ms
+    total at 1M rays, so re-packing rays into spatially/directionally
+    coherent packets each bounce is nearly free."""
+    lo, inv_extent = bounds
+    order = jnp.argsort(_ray_sort_key(o, d, lo, inv_extent))
+    inv = jnp.argsort(order)
+    rec = trace_material_ray(scene, tables, o[order], d[order],
+                             t_min[order], t_max[order],
+                             cull_backface=cull_backface,
+                             max_alpha_retrace=max_alpha_retrace)
+    return {k: v[inv] for k, v in rec.items()}
+
+
 def trace_material_ray(scene: FlatScene, tables: TraceTables, o, d,
                        t_min, t_max,
                        cull_backface: bool, max_alpha_retrace: int):
@@ -489,12 +560,27 @@ def trace_paths(scene: FlatScene, tables: TraceTables, o, d, seed,
         env_weight = jnp.zeros((count, 3), jnp.float32)
         env_dir = d
 
+        # Re-pack secondary rays into coherent packets when the scene is
+        # big enough that packet union-sweep dominates the sort machinery
+        # (~40 ms/bounce at 1M rays): a small scene's whole tree is
+        # cheaper to sweep than the sort, a large one collapses without
+        # it (1.6M-tri stress scene: 0.37 Mray/s unsorted).
+        use_sort = _total_triangles(tables) > 200_000
+        sort_bounds = scene_bounds(tables) if use_sort else None
         for bounce in range(config.max_bounce_count):
             rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
-            rec = trace_material_ray(
-                scene, tables, o, d, t_min, t_max,
-                cull_backface=config.backface_culling,
-                max_alpha_retrace=config.max_alpha_retrace)
+            if bounce == 0 or not use_sort:
+                # Primaries are already coherent (tiled_order).
+                rec = trace_material_ray(
+                    scene, tables, o, d, t_min, t_max,
+                    cull_backface=config.backface_culling,
+                    max_alpha_retrace=config.max_alpha_retrace)
+            else:
+                rec = trace_material_ray_sorted(
+                    scene, tables, o, d, t_min, t_max,
+                    cull_backface=config.backface_culling,
+                    max_alpha_retrace=config.max_alpha_retrace,
+                    bounds=sort_bounds)
 
             weight = throughput / jnp.maximum(ray_pdf, 1e-30)[..., None]
 

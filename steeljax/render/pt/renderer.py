@@ -111,7 +111,8 @@ def prepare_scene(scene: Scene, env_resolution: int = 256,
         tables = attach_shade_tables(
             tables, permuted["tri_nrm"], permuted["tri_tan"],
             permuted["tri_uv"], permuted["tri_mat"],
-            textured=flat.has_textures)
+            textured=flat.has_textures,
+            tri_uvd=permuted["tri_shade"][:, 27])
     return flat, tables
 
 
