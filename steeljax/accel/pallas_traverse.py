@@ -45,11 +45,11 @@ LANES = 128
 SUBLANES = 32  # default packet = 4096 rays: fewer scalar pops per ray
 BLOCK = LANES * SUBLANES  # rays per packet
 
-# Tests flip this to run the kernels in Pallas interpret mode on CPU
-# (tests/conftest.py forces the CPU platform), giving the kernel logic CI
-# coverage without a TPU.  Kernel jit caches key on it.
-INTERPRET = False
-
+# NOTE: Pallas interpret mode was evaluated for CPU CI coverage of these
+# kernels and is not viable — the per-packet while_loop executes eagerly
+# under the interpreter and a single 128-ray trace did not finish in 9
+# minutes.  CI covers kernel *logic* via the shared encodings (bvh8
+# collapse, leaf gating) and on-TPU parity renders instead.
 _DET_EPS = 1e-12
 
 
@@ -301,7 +301,7 @@ def _trace_packed(nodes, tris_packed, o, d, t_min, t_max,
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # best v
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),    # best idx
         ],
-        interpret=INTERPRET,
+
     )(nodes, tris_packed, *comps)
 
     t = t.reshape(-1)[:count]
@@ -681,7 +681,7 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
-        interpret=INTERPRET,
+
     )(*inputs, *comps)
 
     def unpad(x):
@@ -1044,7 +1044,7 @@ def _trace_packed8_inst(snode_rows, tris_packed, inst_trace, o, d,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
-        interpret=INTERPRET,
+
     )(snode_rows, tris_packed, inst_trace, *comps)
 
     t = t.reshape(-1)[:count]

@@ -126,18 +126,18 @@ class HybridRenderer:
         order.  The benchmarking surface: the reference's frame ends at
         the swapchain image, not at a host download (the axon tunnel's
         host transfer would otherwise dominate the measurement)."""
-        from steeljax.render.pt.integrator import tiled_order
+        from steeljax.render.pt.integrator import detile, tiled_order
 
         tiled = tiled_order(self.width, self.height)
         if tiled is not None:
-            px, py, inverse = tiled
+            px, py, tile = tiled
         else:
             ys, xs = np.meshgrid(np.arange(self.height, dtype=np.int32),
                                  np.arange(self.width, dtype=np.int32),
                                  indexing="ij")
             px = jnp.asarray(xs.reshape(-1))
             py = jnp.asarray(ys.reshape(-1))
-            inverse = None
+            tile = None
         out = render_hybrid_pixels(
             self.flat, self.tables, self.env,
             jnp.asarray(self.frame.inverse_view),
@@ -147,8 +147,8 @@ class HybridRenderer:
             self.width, self.height, px, py,
             light_volume=self.light_volume,
             ray_tracing_enabled=self.config.ray_tracing_enabled)
-        if inverse is not None:
-            out = out[inverse]
+        if tile is not None:
+            out = detile(out, self.width, self.height, tile).reshape(-1, 3)
         return out
 
     def render_frame(self) -> np.ndarray:

@@ -160,6 +160,12 @@ def _ray_sort_key(o, d, lo, inv_extent):
     return (morton << 3) | octant
 
 
+# Scenes above this effective triangle count repack in-flight rays each
+# bounce (compaction + coherence sort, see trace_paths); below it the
+# payload sort costs more than the whole packet union sweep.
+REPACK_MIN_TRIS = 200_000
+
+
 def _total_triangles(tables) -> int:
     """Static triangle-count estimate for the sort gate."""
     from steeljax.accel.instances import InstancedTables
@@ -187,27 +193,41 @@ def scene_bounds(tables) -> tuple[jnp.ndarray, jnp.ndarray]:
             jnp.asarray(1.0 / np.maximum(hi - lo, 1e-6), jnp.float32))
 
 
-def trace_material_ray_sorted(scene: FlatScene, tables, o, d, t_min, t_max,
-                              cull_backface: bool, max_alpha_retrace: int,
-                              bounds):
-    """trace_material_ray over rays REORDERED by a (Morton origin cell,
-    direction octant) key, with results mapped back.
+def repack_rays(key, columns):
+    """Reorder the whole in-flight ray state by `key` with ONE stable
+    lax.sort carrying every state array as a payload column.
 
-    Packet traversal's cost for a packet is the UNION of the tree regions
-    its rays touch; after the first diffuse bounce, screen-tile packets
-    are directionally incoherent and sweep far too much of the tree
-    (measured 48 ms of a 79 ms Cornell frame; a 1.6M-tri scene collapsed
-    to 0.37 Mray/s).  argsort + permutation gathers cost well under 1 ms
-    total at 1M rays, so re-packing rays into spatially/directionally
-    coherent packets each bounce is nearly free."""
-    lo, inv_extent = bounds
-    order = jnp.argsort(_ray_sort_key(o, d, lo, inv_extent))
-    inv = jnp.argsort(order)
-    rec = trace_material_ray(scene, tables, o[order], d[order],
-                             t_min[order], t_max[order],
-                             cull_backface=cull_backface,
-                             max_alpha_retrace=max_alpha_retrace)
-    return {k: v[inv] for k, v in rec.items()}
+    Random-access data movement is the wrong tool on TPU: a permutation
+    gather costs ~12 ns per *index* (~11 ms per 1M rays per array), which
+    is why the round-2 argsort+gather reorder experiment LOST on Cornell
+    (+40 ms/bounce).  lax.sort moves payloads through an oblivious
+    sorting network — sequential, bandwidth-bound passes — so the entire
+    22-column ray state repacks for roughly the cost of one wide sweep.
+    No inverse map is needed: state *stays* permuted across bounces and a
+    final sort by the carried pixel-slot column restores frame order.
+
+    `columns` is a flat list of (N,) or (N, k) arrays; (N, k) arrays are
+    split into k scalar columns and re-stacked on return."""
+    flat_cols = []
+    spec = []
+    for c in columns:
+        if c.ndim == 1:
+            flat_cols.append(c)
+            spec.append(None)
+        else:
+            k = c.shape[1]
+            flat_cols.extend(c[:, i] for i in range(k))
+            spec.append(k)
+    outs = jax.lax.sort((key, *flat_cols), num_keys=1, is_stable=True)
+    sorted_key = outs[0]
+    it = iter(outs[1:])
+    result = []
+    for s in spec:
+        if s is None:
+            result.append(next(it))
+        else:
+            result.append(jnp.stack([next(it) for _ in range(s)], axis=-1))
+    return sorted_key, result
 
 
 def trace_material_ray(scene: FlatScene, tables: TraceTables, o, d,
@@ -555,39 +575,49 @@ def trace_paths(scene: FlatScene, tables: TraceTables, o, d, seed,
         t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (count,))
         t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (count,))
         # Deferred environment lookup: a lane misses at most once (it dies
-        # at the miss), so one cubemap sample at the end replaces one per
-        # bounce.
-        env_weight = jnp.zeros((count, 3), jnp.float32)
-        env_dir = d
+        # at the miss) and its throughput / ray_pdf / direction freeze
+        # there (every later update is alive-guarded), so the miss-time
+        # env weight is recoverable at the END from the frozen state plus
+        # one "ever missed" bit — one cubemap gather per sample instead of
+        # per bounce, and no (weight, dir) arrays to carry.
+        miss = jnp.zeros((count,), bool)
 
-        # Re-pack secondary rays into coherent packets when the scene is
-        # big enough that packet union-sweep dominates the sort machinery
-        # (~40 ms/bounce at 1M rays): a small scene's whole tree is
-        # cheaper to sweep than the sort, a large one collapses without
-        # it (1.6M-tri stress scene: 0.37 Mray/s unsorted).
-        use_sort = _total_triangles(tables) > 200_000
-        sort_bounds = scene_bounds(tables) if use_sort else None
+        # Before every secondary bounce on BIG scenes the in-flight ray
+        # state is repacked by one stable payload sort (repack_rays):
+        # dead rays sink to the tail (their packets root-pop for free —
+        # wavefront compaction, SURVEY §7 M2) and the live block is
+        # ordered by a (Morton origin cell, direction octant) key so
+        # packets stop union-sweeping the whole tree.  Small scenes skip
+        # it: the sort costs ~4 ms/bounce at 1M rays, more than their
+        # entire union sweep (Cornell measured 95 vs 76 ms/frame).
+        use_repack = _total_triangles(tables) > REPACK_MIN_TRIS
+        sort_bounds = scene_bounds(tables) if use_repack else None
+        repacked = False
+        slot = jnp.arange(count, dtype=jnp.int32)
         for bounce in range(config.max_bounce_count):
+            if bounce > 0 and use_repack:
+                lo, inv_extent = sort_bounds
+                key = (((~alive).astype(jnp.int32) << 19)
+                       | (miss.astype(jnp.int32) << 18)
+                       | _ray_sort_key(o, d, lo, inv_extent))
+                key, (o, d, throughput, ray_pdf, irradiance, seed,
+                      slot) = repack_rays(
+                    key, [o, d, throughput, ray_pdf, irradiance, seed,
+                          slot])
+                alive = (key >> 19) == 0
+                miss = ((key >> 18) & 1) == 1
+                t_max = jnp.where(alive, RAY_MAX_T, -1.0)
+                repacked = True
             rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
-            if bounce == 0 or not use_sort:
-                # Primaries are already coherent (tiled_order).
-                rec = trace_material_ray(
-                    scene, tables, o, d, t_min, t_max,
-                    cull_backface=config.backface_culling,
-                    max_alpha_retrace=config.max_alpha_retrace)
-            else:
-                rec = trace_material_ray_sorted(
-                    scene, tables, o, d, t_min, t_max,
-                    cull_backface=config.backface_culling,
-                    max_alpha_retrace=config.max_alpha_retrace,
-                    bounds=sort_bounds)
+            rec = trace_material_ray(
+                scene, tables, o, d, t_min, t_max,
+                cull_backface=config.backface_culling,
+                max_alpha_retrace=config.max_alpha_retrace)
 
             weight = throughput / jnp.maximum(ray_pdf, 1e-30)[..., None]
 
             # Miss -> environment (RayGen.rgen:353-357), deferred.
-            missed = alive & ~rec["hit"]
-            env_weight = jnp.where(missed[..., None], weight, env_weight)
-            env_dir = jnp.where(missed[..., None], d, env_dir)
+            miss = miss | (alive & ~rec["hit"])
 
             alive = alive & rec["hit"]
 
@@ -640,7 +670,10 @@ def trace_paths(scene: FlatScene, tables: TraceTables, o, d, seed,
                     throughput)
 
             o = p
-            d = brdf_lib.tangent_to_world(wi, tbn)
+            # Guarded so a ray that missed this bounce keeps its traced
+            # direction — that frozen d IS the deferred env lookup dir.
+            d = jnp.where(alive[..., None],
+                          brdf_lib.tangent_to_world(wi, tbn), d)
             t_min = jnp.full_like(t_min, RAY_MIN_T)
             # Dead lanes get an inverted interval: the traversal kernel
             # rejects them at the root slab test, so finished rays cost
@@ -648,9 +681,19 @@ def trace_paths(scene: FlatScene, tables: TraceTables, o, d, seed,
             # compaction).
             t_max = jnp.where(alive, RAY_MAX_T, -1.0)
 
-    irradiance = irradiance + sample_cube_quads(scene.env_quads, env_dir) \
+    # Deferred env: throughput/ray_pdf/d froze at the miss bounce, so this
+    # reproduces the per-bounce miss shading exactly (RayGen.rgen:353-357).
+    env_weight = jnp.where(
+        miss[..., None], throughput / jnp.maximum(ray_pdf, 1e-30)[..., None],
+        0.0)
+    irradiance = irradiance + sample_cube_quads(scene.env_quads, d) \
         * env_weight
     clamped = jnp.minimum(irradiance, config.max_irradiance)
+    if repacked:
+        # Restore frame order: `slot` is a permutation, so one sort by it
+        # puts every ray's accumulated irradiance (and seed, for the
+        # caller's next sample) back at its pixel.
+        _, (clamped, seed) = repack_rays(slot, [clamped, seed])
     return clamped, seed, rays_traced
 
 
@@ -697,17 +740,29 @@ def tiled_order(width: int, height: int):
     packets are spatially compact (the ThreadGroupTiling analog,
     ThreadGroupTiling.glsl:19-70): a 4096-ray packet covers a 64x16 block
     instead of a 1280x3 strip, shrinking the BVH node set it touches.
-    Returns (px, py, inverse) or None when the extent doesn't tile."""
+    Returns (px, py, (tile_w, tile_h)) or None when the extent doesn't
+    tile; undo the ordering with `detile` (a reshape/transpose — a 2M-
+    index gather for the same job costs ~25 ms on TPU at 1080p)."""
     for tw, th in ((64, 16), (128, 8), (32, 16), (16, 16)):
         if width % tw == 0 and height % th == 0:
             idx = np.arange(width * height, dtype=np.int32).reshape(
                 height, width)
             order = idx.reshape(height // th, th, width // tw,
                                 tw).transpose(0, 2, 1, 3).reshape(-1)
-            inverse = np.argsort(order).astype(np.int32)
             return (jnp.asarray(order % width), jnp.asarray(order // width),
-                    jnp.asarray(inverse))
+                    (tw, th))
     return None
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "tile"))
+def detile(result, width: int, height: int, tile):
+    """Invert tiled_order's pixel ordering: (W*H, C) tile-ordered ->
+    (H, W, C) row-major, as pure reshape/transpose (no gather)."""
+    tw, th = tile
+    c = result.shape[1:]
+    r = result.reshape((height // th, width // tw, th, tw) + c)
+    return r.transpose(0, 2, 1, 3, *range(4, 4 + len(c))).reshape(
+        (height, width) + c)
 
 
 def render_sample(scene: FlatScene, tables: TraceTables,
@@ -719,12 +774,12 @@ def render_sample(scene: FlatScene, tables: TraceTables,
     """Full-frame convenience wrapper around render_pixels; (H, W, 3)."""
     tiled = tiled_order(width, height)
     if tiled is not None:
-        px, py, inverse = tiled
+        px, py, tile = tiled
         result = render_pixels(
             scene, tables, inverse_view, inverse_proj, camera_near,
             camera_far, width, height, px, py,
             accumulation_index, sample_index, config, render_to_cube)
-        return result[inverse].reshape(height, width, 3)
+        return detile(result, width, height, tile)
     ys, xs = jnp.meshgrid(jnp.arange(height, dtype=jnp.int32),
                           jnp.arange(width, dtype=jnp.int32), indexing="ij")
     result = render_pixels(

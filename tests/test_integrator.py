@@ -93,3 +93,18 @@ def test_renderer_class_accumulates():
     assert not np.array_equal(img1, img2)
     r.reset_accumulation()
     assert int(r.state.index) == 0
+
+
+def test_repack_bounces_match_unrepacked(cornell, monkeypatch):
+    """The per-bounce ray repack (stable payload sort + slot restore) must
+    be a pure reordering: per-ray RNG streams travel with the rays, so the
+    image is bit-identical with the repack forced on."""
+    from steeljax.render.pt import integrator
+
+    _, flat, bvh, frame = cornell
+    baseline = _render(flat, bvh, frame)
+    monkeypatch.setattr(integrator, "REPACK_MIN_TRIS", -1)
+    integrator.render_pixels._clear_cache()
+    repacked = _render(flat, bvh, frame)
+    integrator.render_pixels._clear_cache()
+    np.testing.assert_array_equal(baseline, repacked)
