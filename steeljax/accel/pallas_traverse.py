@@ -233,9 +233,11 @@ def _traverse_kernel(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
             for r in range(1, max_leaf // 8):
                 pl.when(cnt > r * 8)(functools.partial(intersect_row, r))
             if any_hit:
-                # Occlusion query: once every ray in the packet is blocked
-                # there is nothing left to refine.
-                @pl.when(jnp.all(bi_ref[:] >= 0))
+                # Occlusion query: once every LIVE ray in the packet is
+                # blocked there is nothing left to refine (dead lanes —
+                # inverted interval, e.g. gated shadow rays — count as
+                # blocked, else one gated lane pins the whole packet).
+                @pl.when(jnp.all((bi_ref[:] >= 0) | (tmx[:] < tmn[:])))
                 def _done():
                     sp_ref[0] = 0
         return 0
@@ -570,7 +572,9 @@ def _traverse_kernel8(*refs, max_leaf: int,
             for r in range(1, max_leaf // 8):
                 pl.when(cnt > r * 8)(functools.partial(intersect_row, r))
             if any_hit:
-                @pl.when(jnp.all(bi_ref[:] >= 0))
+                # Dead (inverted-interval) lanes count as blocked — see
+                # the binary kernel's occlusion-query note.
+                @pl.when(jnp.all((bi_ref[:] >= 0) | (tmx[:] < tmn[:])))
                 def _done():
                     sp_ref[0] = 0
         return 0
@@ -913,7 +917,8 @@ def _traverse_kernel8_inst(snodes_ref, tris_ref, inst_ref,
                     pl.when(cnt > r * 8)(functools.partial(intersect_row,
                                                            r))
                 if any_hit:
-                    @pl.when(jnp.all(bi_ref[:] >= 0))
+                    @pl.when(jnp.all((bi_ref[:] >= 0)
+                                     | (tmx[:] < tmn[:])))
                     def _done():
                         sp_ref[0] = 0
 

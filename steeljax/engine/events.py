@@ -13,6 +13,9 @@ import enum
 from collections import defaultdict
 from typing import Any, Callable
 
+from steeljax.engine.input import (Key, KeyAction, ModifierFlags,
+                                   MouseButton, MouseButtonAction)
+
 
 class EventType(enum.Enum):
     """EngineHelpers.hpp EventType."""
@@ -24,19 +27,43 @@ class EventType(enum.Enum):
     SCENE_OPEN = "scene_open"
 
 
+def _norm_key(key) -> str:
+    if isinstance(key, Key):
+        return key.char or key.name.lower()
+    return key
+
+
+def _norm_action(action) -> str:
+    if isinstance(action, (KeyAction, MouseButtonAction)):
+        return action.value
+    return action
+
+
 @dataclasses.dataclass(frozen=True)
 class KeyInput:
-    """EngineHelpers.hpp KeyInput: key name + action + modifiers."""
+    """EngineHelpers.hpp KeyInput: key + action + modifiers.  Accepts the
+    typed enums (engine.input.Key / KeyAction / ModifierFlags) or their
+    plain-string forms; stores the normalized string so handlers compare
+    either way."""
     key: str
     action: str = "press"  # press | release | repeat
-    mods: frozenset = frozenset()
+    mods: frozenset | ModifierFlags = frozenset()
+
+    def __post_init__(self):
+        object.__setattr__(self, "key", _norm_key(self.key))
+        object.__setattr__(self, "action", _norm_action(self.action))
 
 
 @dataclasses.dataclass(frozen=True)
 class MouseInput:
     button: str
     action: str = "press"
-    mods: frozenset = frozenset()
+    mods: frozenset | ModifierFlags = frozenset()
+
+    def __post_init__(self):
+        if isinstance(self.button, MouseButton):
+            object.__setattr__(self, "button", self.button.name.lower())
+        object.__setattr__(self, "action", _norm_action(self.action))
 
 
 class EventBus:

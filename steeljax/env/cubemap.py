@@ -79,6 +79,19 @@ def pack_cube_quads(cube: np.ndarray) -> np.ndarray:
     return quads.reshape(faces * res * res, 16)
 
 
+def _select_rows(table, index):
+    """table[index] for a tiny static (F, 3) table as a fused select
+    chain.  On TPU even a 6-row gather costs ~10 ms per 2M lookups (the
+    cost is per *index*); 6 broadcast selects are fused elementwise and
+    effectively free — this one change was ~40 ms of the 1080p hybrid
+    frame (two _cube_face_uv calls x three basis gathers)."""
+    table = np.asarray(table, np.float32)
+    out = jnp.broadcast_to(jnp.asarray(table[0]), index.shape + (3,))
+    for f in range(1, table.shape[0]):
+        out = jnp.where((index == f)[..., None], jnp.asarray(table[f]), out)
+    return out
+
+
 def _cube_face_uv(direction):
     """Shared face-selection + in-face coordinate math; returns
     (face int32, x, y) with x/y in [-1, 1]."""
@@ -92,9 +105,9 @@ def _cube_face_uv(direction):
         is_x, jnp.where(d[..., 0] >= 0, 0, 1),
         jnp.where(is_y, jnp.where(d[..., 1] >= 0, 2, 3),
                   jnp.where(d[..., 2] >= 0, 4, 5))).astype(jnp.int32)
-    n = jnp.asarray(CUBE_FACES_N)[face]
-    t = jnp.asarray(CUBE_FACES_T)[face]
-    b = jnp.asarray(CUBE_FACES_B)[face]
+    n = _select_rows(CUBE_FACES_N, face)
+    t = _select_rows(CUBE_FACES_T, face)
+    b = _select_rows(CUBE_FACES_B, face)
     denom = jnp.sum(d * n, axis=-1)
     denom = jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
     x = jnp.sum(d * t, axis=-1) / denom
@@ -143,11 +156,21 @@ def pack_mips(mips):
             jnp.asarray(np.array(sizes, np.int32)))
 
 
+def _select_elems(vec, index):
+    """vec[index] for a tiny (M,) array and per-pixel int index, as a
+    select chain over static slices (see _select_rows: per-index gathers
+    from tiny tables are ~10 ms per 2M lookups on TPU)."""
+    out = jnp.broadcast_to(vec[0], index.shape)
+    for m in range(1, vec.shape[0]):
+        out = jnp.where(index == m, vec[m], out)
+    return out
+
+
 def _sample_flat_level(data, offsets, sizes, level, face, x, y):
     """Bilinear fetch at integer mip `level` given face + in-face unit
     coords x, y in [-1, 1] — one quad-row gather + lerp."""
-    res = sizes[level]
-    off = offsets[level]
+    res = _select_elems(sizes, level)
+    off = _select_elems(offsets, level)
     resf = res.astype(jnp.float32)
     u = (x + 1.0) * 0.5 * resf - 0.5
     v = (y + 1.0) * 0.5 * resf - 0.5

@@ -167,8 +167,16 @@ def generate_gbuffer(scene: FlatScene, tables: TraceTables, o, d,
     base_lod = jnp.log2(jnp.maximum(footprint_uv, 1e-20))
 
     def tex_width(idx):
-        return jnp.maximum(
-            scene.tex_size[jnp.maximum(idx, 0)][..., 0], 1)
+        # Select chain over the small static texture axis (a tiny-table
+        # gather costs ~10 ms per 2M pixels on TPU — see render.texture).
+        tid = jnp.maximum(idx, 0)
+        k = scene.tex_size.shape[0]
+        if k > 32:
+            return jnp.maximum(scene.tex_size[tid][..., 0], 1)
+        w = jnp.broadcast_to(scene.tex_size[0, 0], tid.shape)
+        for i in range(1, k):
+            w = jnp.where(tid == i, scene.tex_size[i, 0], w)
+        return jnp.maximum(w, 1)
 
     # NORMAL_MAPPING (Material.glsl:40-47) — statically skipped for
     # untextured scenes (the MaterialPipelineCache define analog): texture

@@ -237,11 +237,11 @@ def trace_material_ray(scene: FlatScene, tables: TraceTables, o, d,
     hits up to `max_alpha_retrace` times (the reference's unbounded any-hit
     loop is bounded here for static control flow).
 
-    Ray-reordering experiments (direction-octant argsort, alive-first
-    compaction) were measured and rejected: TPU XLA gathers/scatters cost
-    ~4 ns/row each way, which cancels the packet-coherence win — see the
-    round-2 perf notes.  Tile-ordered pixels (tiled_order) capture most of
-    the coherence for free."""
+    Rays are traced in caller order: primaries arrive tile-ordered
+    (tiled_order) and big-scene secondary bounces arrive repacked by
+    trace_paths (alive-first + Morton/octant, via one payload sort —
+    repack_rays); per-array argsort+gather reordering was measured and
+    rejected (~12 ns/index on TPU)."""
     from steeljax.accel.instances import (InstancedTables,
                                           trace_nearest_instanced)
 
@@ -520,12 +520,18 @@ def direct_lighting(scene: FlatScene, tables: TraceTables, surface, tbn,
     # First index with pick < cum_norm[i] (RayGen.rgen:226-234).
     light_index = jnp.sum(
         (pick[:, None] >= cum_norm[:, :-1]).astype(jnp.int32), axis=-1)
-    pdf = jnp.take_along_axis(
-        estimates / jnp.maximum(total, 1e-20)[:, None],
-        light_index[:, None], axis=1)[:, 0]
-
-    loc = scene.light_location[light_index]              # (N, 4)
-    color = scene.light_color[light_index, :3]
+    # Select chains over the (static, <= MAX_LIGHT_COUNT) light axis: a
+    # per-index gather even from a 16-row table costs ~10 ms per 2M rays
+    # on TPU, a handful of fused selects is free.
+    norm_est = estimates / jnp.maximum(total, 1e-20)[:, None]
+    pdf = norm_est[:, 0]
+    loc = jnp.broadcast_to(scene.light_location[0], p.shape[:1] + (4,))
+    color = jnp.broadcast_to(scene.light_color[0, :3], p.shape[:1] + (3,))
+    for i in range(1, scene.light_count):
+        sel = light_index == i
+        pdf = jnp.where(sel, norm_est[:, i], pdf)
+        loc = jnp.where(sel[:, None], scene.light_location[i], loc)
+        color = jnp.where(sel[:, None], scene.light_color[i, :3], color)
     is_point = loc[..., 3]
 
     direction = loc[..., :3] - p * is_point[..., None]
@@ -544,8 +550,13 @@ def direct_lighting(scene: FlatScene, tables: TraceTables, surface, tbn,
     wh = _normalize(wo + wi)
 
     origin = p + n * BIAS
+    # Shadow rays only where a light was actually picked (has_light zeroes
+    # the contribution anyway): gated lanes get an inverted interval and
+    # root-pop in the kernel, and the any-hit early exit counts them as
+    # blocked.
+    t_far = jnp.where(has_light, distance, -1.0)
     occluded = trace_visibility(scene, tables, origin, direction,
-                                RAY_MIN_T, distance, max_alpha_retrace)
+                                RAY_MIN_T, t_far, max_alpha_retrace)
 
     f = brdf_lib.evaluate_brdf(surface, wo, wi, wh)
     contrib = (f * brdf_lib.cos_theta(wi)[..., None] * color

@@ -113,6 +113,12 @@ def prepare_scene(scene: Scene, env_resolution: int = 256,
             permuted["tri_uv"], permuted["tri_mat"],
             textured=flat.has_textures,
             tri_uvd=permuted["tri_shade"][:, 27])
+    # Structural validation (the validation-layers analog): opt-in via
+    # STEELJAX_VALIDATE=1; always on in the test suite (core.validate).
+    from steeljax.core import validate as validate_lib
+    if validate_lib.validation_enabled():
+        validate_lib.validate_flat_scene(flat)
+        validate_lib.validate_tables(tables, int(flat.tri_pos.shape[0]))
     return flat, tables
 
 

@@ -22,16 +22,31 @@ def _bilinear_level(atlas, tex_offset, tex_size, tex_id, uv, level):
     """
     tid = jnp.maximum(tex_id, 0)
     level = jnp.clip(level, 0, tex_offset.shape[1] - 1)
-    # Row gathers (then static/arithmetic column selects): TPU XLA row
-    # gathers run near bandwidth while per-element gathers cost ~10x.
-    size_row = tex_size[tid]                       # (..., 2)
+    # Descriptor fetch: TPU gathers cost ~10 ms per 2M indices EVEN from a
+    # tiny table, so for the typical small texture count the (K, .) rows
+    # come from a fused select chain over static slices; big atlases keep
+    # the row gather.
+    k = tex_offset.shape[0]
+    if k <= 32:
+        size_row = jnp.broadcast_to(tex_size[0], tid.shape + (2,))
+        off_row = jnp.broadcast_to(tex_offset[0],
+                                   tid.shape + (tex_offset.shape[1],))
+        for i in range(1, k):
+            sel = (tid == i)[..., None]
+            size_row = jnp.where(sel, tex_size[i], size_row)
+            off_row = jnp.where(sel, tex_offset[i], off_row)
+    else:
+        size_row = tex_size[tid]                   # (..., 2)
+        off_row = tex_offset[tid]                  # (..., M)
     w = jnp.maximum(size_row[..., 0] >> level, 1)
     h = jnp.maximum(size_row[..., 1] >> level, 1)
-    off_row = tex_offset[tid]                      # (..., M)
     if isinstance(level, int) or getattr(level, "ndim", 0) == 0:
         off = off_row[..., level]
     else:
-        off = jnp.take_along_axis(off_row, level[..., None], axis=-1)[..., 0]
+        # Mip select over the small static mip axis (same reasoning).
+        off = off_row[..., 0]
+        for m in range(1, tex_offset.shape[1]):
+            off = jnp.where(level == m, off_row[..., m], off)
 
     x = uv[..., 0] * w.astype(jnp.float32) - 0.5
     y = uv[..., 1] * h.astype(jnp.float32) - 0.5

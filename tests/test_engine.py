@@ -185,3 +185,25 @@ def test_checkpoint_roundtrip(tmp_path):
     loaded = checkpoint.load_accumulation(path)
     np.testing.assert_allclose(np.asarray(loaded.accumulated), 0.5)
     assert int(loaded.index) == 7
+
+
+def test_typed_input_enums_normalize():
+    """InputHelpers.hpp enum surface (Key/KeyAction/MouseButton/Modifier
+    flags) interoperates with the string-keyed event handlers."""
+    from steeljax.engine.input import (Key, KeyAction, ModifierFlags,
+                                       MouseButton, MouseButtonAction)
+
+    assert Key.W == 87 and Key.ESCAPE == 256 and Key.MENU == 348
+    assert Key.from_char("w") is Key.W
+    assert Key.W.char == "w"
+    assert Key.F5.char is None
+    assert Key.from_char("~") is Key.UNKNOWN
+
+    e = KeyInput(Key.W, KeyAction.PRESS, ModifierFlags.SHIFT)
+    assert e == KeyInput("w", "press", ModifierFlags.SHIFT)
+    assert KeyInput(Key.ESCAPE).key == "escape"
+
+    m = MouseInput(MouseButton.LEFT, MouseButtonAction.RELEASE)
+    assert m.button == "left" and m.action == "release"
+    flags = ModifierFlags.SHIFT | ModifierFlags.CONTROL
+    assert ModifierFlags.SHIFT in flags and ModifierFlags.ALT not in flags
