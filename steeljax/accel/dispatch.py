@@ -228,7 +228,8 @@ def _skippable(fn, any_possible, template):
 
 
 def trace_nearest(tables: TraceTables, tri_pos, tri_double_sided, o, d,
-                  t_min, t_max, cull_backface: bool = True):
+                  t_min, t_max, cull_backface: bool = True,
+                  shared_origin: bool = False):
     best = None
     tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o.shape[:1])
@@ -250,7 +251,8 @@ def trace_nearest(tables: TraceTables, tri_pos, tri_double_sided, o, d,
                 return ptv.trace_nearest_packet8(
                     chunk.bvh8, chunk.tris_packed, o, d, t_min, chunk_tmax,
                     cull_backface=cull_backface, packet_sublanes=subl,
-                    shade_rows=chunk.shade_packed, shade_mode=mode)
+                    shade_rows=chunk.shade_packed, shade_mode=mode,
+                    shared_origin=shared_origin)
             return traverse.trace_nearest(
                 chunk.bvh, _chunk_slice(tri_pos, chunk),
                 _chunk_slice(tri_double_sided, chunk), o, d, t_min,

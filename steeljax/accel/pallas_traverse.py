@@ -74,11 +74,6 @@ def pack_tris(tri_pos: np.ndarray, tri_double_sided: np.ndarray) -> np.ndarray:
     return _flatten_records(packed)
 
 
-def pack_nodes(nodes: np.ndarray) -> np.ndarray:
-    """Node table passes through as (N, 8) rows (dynamic sublane reads)."""
-    return np.asarray(nodes, np.float32)
-
-
 def pack_shade_records(tri_nrm, tri_tan, tri_uv, tri_mat,
                        textured: bool, tri_uvd=None) -> np.ndarray:
     """Per-triangle shading records for the FUSED trace+shade kernel.
@@ -117,218 +112,6 @@ def pack_shade_records(tri_nrm, tri_tan, tri_uv, tri_mat,
     return _flatten_records(packed)
 
 
-def _traverse_kernel(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
-                     tmn, tmx, out_t, out_u, out_v, out_i,
-                     stack_ref, sp_ref, bt_ref, bu_ref, bv_ref, bi_ref,
-                     *, max_leaf: int,
-                     cull_backface: bool, any_hit: bool = False):
-    f32 = jnp.float32
-
-    def safe_inv(d):
-        return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
-                               jnp.where(d < 0, -1e-12, 1e-12), d)
-
-    inv_dx = safe_inv(dx[:])
-    inv_dy = safe_inv(dy[:])
-    inv_dz = safe_inv(dz[:])
-
-    bt_ref[:] = tmx[:]
-    bu_ref[:] = jnp.zeros_like(tmx[:])
-    bv_ref[:] = jnp.zeros_like(tmx[:])
-    bi_ref[:] = jnp.full(tmx.shape, -1, jnp.int32)
-
-    stack_ref[0] = 0
-    sp_ref[0] = 1
-
-    def cond(_):
-        return sp_ref[0] > 0
-
-    def body(_):
-        sp = sp_ref[0]
-        node = stack_ref[sp - 1]
-        sp_ref[0] = sp - 1
-
-        row = nodes_ref[node]
-        meta0 = row[6].astype(jnp.int32)
-        cnt = row[7].astype(jnp.int32)
-        is_leaf = cnt > 0
-
-        @pl.when(jnp.logical_not(is_leaf))
-        def _internal():
-            for k in range(2):
-                child = meta0 + k
-                crow = nodes_ref[child]
-                t0x = (crow[0] - ox[:]) * inv_dx
-                t1x = (crow[3] - ox[:]) * inv_dx
-                t0y = (crow[1] - oy[:]) * inv_dy
-                t1y = (crow[4] - oy[:]) * inv_dy
-                t0z = (crow[2] - oz[:]) * inv_dz
-                t1z = (crow[5] - oz[:]) * inv_dz
-                near = jnp.maximum(
-                    jnp.maximum(jnp.minimum(t0x, t1x),
-                                jnp.minimum(t0y, t1y)),
-                    jnp.minimum(t0z, t1z))
-                far = jnp.minimum(
-                    jnp.minimum(jnp.maximum(t0x, t1x),
-                                jnp.maximum(t0y, t1y)),
-                    jnp.maximum(t0z, t1z))
-                hit = (near <= far) & (far >= tmn[:]) & (near <= bt_ref[:])
-
-                @pl.when(jnp.any(hit))
-                def _push():
-                    s = sp_ref[0]
-                    stack_ref[s] = child
-                    sp_ref[0] = s + 1
-
-        @pl.when(is_leaf)
-        def _leaf():
-            base = meta0  # 8-aligned (bvh._align_leaves)
-            row_base = base // 8
-
-            def intersect_row(r):
-                trow = tris_ref[row_base + r]  # (128,) = 8 records
-                for j in range(8):
-                    l = r * 8 + j
-                    off = 16 * j
-                    v0x = trow[off + 0]
-                    v0y = trow[off + 1]
-                    v0z = trow[off + 2]
-                    e1x = trow[off + 3]
-                    e1y = trow[off + 4]
-                    e1z = trow[off + 5]
-                    e2x = trow[off + 6]
-                    e2y = trow[off + 7]
-                    e2z = trow[off + 8]
-                    ds = trow[off + 9]
-
-                    # pvec = d x e2
-                    px = dy[:] * e2z - dz[:] * e2y
-                    py = dz[:] * e2x - dx[:] * e2z
-                    pz = dx[:] * e2y - dy[:] * e2x
-                    det = e1x * px + e1y * py + e1z * pz
-                    if cull_backface:
-                        facing = (det > _DET_EPS) | (
-                            (ds > 0.5) & (jnp.abs(det) > _DET_EPS))
-                    else:
-                        facing = jnp.abs(det) > _DET_EPS
-                    inv_det = 1.0 / jnp.where(jnp.abs(det) > _DET_EPS, det, 1.0)
-                    tx = ox[:] - v0x
-                    ty = oy[:] - v0y
-                    tz = oz[:] - v0z
-                    u = (tx * px + ty * py + tz * pz) * inv_det
-                    # qvec = tvec x e1
-                    qx = ty * e1z - tz * e1y
-                    qy = tz * e1x - tx * e1z
-                    qz = tx * e1y - ty * e1x
-                    v = (dx[:] * qx + dy[:] * qy + dz[:] * qz) * inv_det
-                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                    hit = (facing & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                           & (t >= tmn[:]) & (t <= bt_ref[:]) & (l < cnt))
-                    bt_ref[:] = jnp.where(hit, t, bt_ref[:])
-                    bu_ref[:] = jnp.where(hit, u, bu_ref[:])
-                    bv_ref[:] = jnp.where(hit, v, bv_ref[:])
-                    bi_ref[:] = jnp.where(hit, base + jnp.int32(l), bi_ref[:])
-
-            intersect_row(0)
-            for r in range(1, max_leaf // 8):
-                pl.when(cnt > r * 8)(functools.partial(intersect_row, r))
-            if any_hit:
-                # Occlusion query: once every LIVE ray in the packet is
-                # blocked there is nothing left to refine (dead lanes —
-                # inverted interval, e.g. gated shadow rays — count as
-                # blocked, else one gated lane pins the whole packet).
-                @pl.when(jnp.all((bi_ref[:] >= 0) | (tmx[:] < tmn[:])))
-                def _done():
-                    sp_ref[0] = 0
-        return 0
-
-    jax.lax.while_loop(cond, body, 0)
-
-    found = bi_ref[:] >= 0
-    out_t[:] = jnp.where(found, bt_ref[:], f32(-1.0))
-    out_u[:] = bu_ref[:]
-    out_v[:] = bv_ref[:]
-    out_i[:] = bi_ref[:]
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("max_leaf", "depth", "cull_backface", "any_hit"))
-def _trace_packed(nodes, tris_packed, o, d, t_min, t_max,
-                  max_leaf: int, depth: int,
-                  cull_backface: bool, any_hit: bool = False):
-    count = o.shape[0]
-    padded = -(-count // BLOCK) * BLOCK
-    pad = padded - count
-
-    def prep(x, fill=0.0):
-        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
-                       constant_values=fill)
-
-    o = prep(o)
-    d = prep(d, 1.0)
-    tmn = prep(jnp.broadcast_to(t_min, (count,)))
-    tmx = prep(jnp.broadcast_to(t_max, (count,)), -1.0)  # pad rays miss
-
-    rows = padded // LANES
-    comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tmn, tmx]
-    comps = [c.reshape(rows, LANES) for c in comps]
-
-    grid = (rows // SUBLANES,)
-    ray_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    full = pl.BlockSpec(memory_space=pltpu.VMEM)
-
-    kernel = functools.partial(
-        _traverse_kernel, max_leaf=max_leaf,
-        cull_backface=cull_backface, any_hit=any_hit)
-
-    out_shape = [
-        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-    ]
-    t, u, v, idx = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[full, full] + [ray_spec] * 8,
-        out_specs=[ray_spec] * 4,
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.SMEM((depth + 8,), jnp.int32),   # stack
-            pltpu.SMEM((1,), jnp.int32),           # stack pointer
-            pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # best t
-            pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # best u
-            pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # best v
-            pltpu.VMEM((SUBLANES, LANES), jnp.int32),    # best idx
-        ],
-
-    )(nodes, tris_packed, *comps)
-
-    t = t.reshape(-1)[:count]
-    u = u.reshape(-1)[:count]
-    v = v.reshape(-1)[:count]
-    idx = idx.reshape(-1)[:count]
-    hit = idx >= 0
-    return {"t": t, "tri": idx, "u": u, "v": v, "hit": hit}
-
-
-def trace_nearest_packet(bvh: BVH, nodes_packed, tris_packed, o, d,
-                         t_min, t_max, cull_backface: bool = True,
-                         any_hit: bool = False):
-    """Packet-traversal nearest hit; same contract as traverse.trace_nearest.
-
-    nodes_packed/tris_packed come from pack_nodes/pack_tris (flat lane
-    layout) and must match the BVH's permuted leaf layout.  With
-    any_hit=True the packet stops once every ray is occluded (shadow rays;
-    the hit mask is still exact)."""
-    return _trace_packed(nodes_packed, tris_packed, o, d,
-                         jnp.asarray(t_min, jnp.float32),
-                         jnp.asarray(t_max, jnp.float32),
-                         bvh.max_leaf, bvh.depth, cull_backface, any_hit)
-
-
 # ---------------------------------------------------------------------------
 # BVH8 kernel: 8 children per scalar pop, encoded leaf stack entries
 # ---------------------------------------------------------------------------
@@ -338,7 +121,7 @@ _LEAF_BITS = 21  # tri_row index bits (supports 2^21 * 8 = 16M triangles)
 
 def _traverse_kernel8(*refs, max_leaf: int,
                       cull_backface: bool, any_hit: bool = False,
-                      shade_mode: int = 0):
+                      shade_mode: int = 0, shared_origin: bool = False):
     """Packet traversal over BVH8 supernode rows (steeljax.accel.bvh.BVH8).
 
     Stack entries encode both node kinds: >= 0 is a supernode id; < 0 is a
@@ -379,9 +162,23 @@ def _traverse_kernel8(*refs, max_leaf: int,
         return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
                                jnp.where(d < 0, -1e-12, 1e-12), d)
 
-    inv_dx = safe_inv(dx[:])
-    inv_dy = safe_inv(dy[:])
-    inv_dz = safe_inv(dz[:])
+    # NOTE: a shared-direction specialization (directional-light shadow
+    # batches -> scalar reciprocals + scalar Moller-Trumbore p/det) was
+    # tried and MEASURED SLOWER (hybrid 147 -> 157 ms): this loop is
+    # scalar-issue-bound, so moving vector math onto the scalar unit
+    # backfires.  Keep everything vectorized.
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    inv_dx = safe_inv(d_x)
+    inv_dy = safe_inv(d_y)
+    inv_dz = safe_inv(d_z)
+    if shared_origin:
+        # Pinhole primaries: every lane shares one origin, so the per-
+        # child slab offsets and most of Moller-Trumbore's t/q terms
+        # collapse to scalar-unit work (padding lanes inherit the real
+        # origin; their outputs are sliced off).
+        o_x, o_y, o_z = ox[0, 0], oy[0, 0], oz[0, 0]
+    else:
+        o_x, o_y, o_z = ox[:], oy[:], oz[:]
 
     bt_ref[:] = tmx[:]
     bu_ref[:] = jnp.zeros_like(tmx[:])
@@ -420,12 +217,12 @@ def _traverse_kernel8(*refs, max_leaf: int,
             vals = []
             for c in range(8):
                 off = 16 * c
-                t0x = (row[off + 0] - ox[:]) * inv_dx
-                t1x = (row[off + 3] - ox[:]) * inv_dx
-                t0y = (row[off + 1] - oy[:]) * inv_dy
-                t1y = (row[off + 4] - oy[:]) * inv_dy
-                t0z = (row[off + 2] - oz[:]) * inv_dz
-                t1z = (row[off + 5] - oz[:]) * inv_dz
+                t0x = (row[off + 0] - o_x) * inv_dx
+                t1x = (row[off + 3] - o_x) * inv_dx
+                t0y = (row[off + 1] - o_y) * inv_dy
+                t1y = (row[off + 4] - o_y) * inv_dy
+                t0z = (row[off + 2] - o_z) * inv_dz
+                t1z = (row[off + 5] - o_z) * inv_dz
                 near = jnp.maximum(
                     jnp.maximum(jnp.minimum(t0x, t1x),
                                 jnp.minimum(t0y, t1y)),
@@ -495,9 +292,9 @@ def _traverse_kernel8(*refs, max_leaf: int,
                     e2z = trow[off + 8]
                     ds = trow[off + 9]
 
-                    px = dy[:] * e2z - dz[:] * e2y
-                    py = dz[:] * e2x - dx[:] * e2z
-                    pz = dx[:] * e2y - dy[:] * e2x
+                    px = d_y * e2z - d_z * e2y
+                    py = d_z * e2x - d_x * e2z
+                    pz = d_x * e2y - d_y * e2x
                     det = e1x * px + e1y * py + e1z * pz
                     if cull_backface:
                         facing = (det > _DET_EPS) | (
@@ -506,19 +303,28 @@ def _traverse_kernel8(*refs, max_leaf: int,
                         facing = jnp.abs(det) > _DET_EPS
                     inv_det = 1.0 / jnp.where(
                         jnp.abs(det) > _DET_EPS, det, 1.0)
-                    tx = ox[:] - v0x
-                    ty = oy[:] - v0y
-                    tz = oz[:] - v0z
+                    tx = o_x - v0x
+                    ty = o_y - v0y
+                    tz = o_z - v0z
                     u = (tx * px + ty * py + tz * pz) * inv_det
                     qx = ty * e1z - tz * e1y
                     qy = tz * e1x - tx * e1z
                     qz = tx * e1y - ty * e1x
-                    v = (dx[:] * qx + dy[:] * qy + dz[:] * qz) * inv_det
+                    v = (d_x * qx + d_y * qy + d_z * qz) * inv_det
                     t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
                     hit = (facing & (u >= 0.0) & (v >= 0.0)
                            & (u + v <= 1.0) & (t >= tmn[:])
                            & (t <= bt_ref[:]) & (l < cnt))
-                    bt_ref[:] = jnp.where(hit, t, bt_ref[:])
+                    if any_hit:
+                        # Occlusion query: ANY hit finishes the lane, so
+                        # sink its best-t to -inf — the lane then fails
+                        # every later node/leaf interval test and stops
+                        # inflating the packet's traversal union (out_t
+                        # is garbage for hits; only the mask is exact).
+                        bt_ref[:] = jnp.where(hit, jnp.float32(-3e38),
+                                              bt_ref[:])
+                    else:
+                        bt_ref[:] = jnp.where(hit, t, bt_ref[:])
                     bu_ref[:] = jnp.where(hit, u, bu_ref[:])
                     bv_ref[:] = jnp.where(hit, v, bv_ref[:])
                     bi_ref[:] = jnp.where(
@@ -612,13 +418,13 @@ def _traverse_kernel8(*refs, max_leaf: int,
 @functools.partial(
     jax.jit,
     static_argnames=("max_leaf", "depth", "cull_backface", "any_hit",
-                     "packet_sublanes", "shade_mode"))
+                     "packet_sublanes", "shade_mode", "shared_origin"))
 def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
                    max_leaf: int, depth: int,
                    cull_backface: bool, any_hit: bool = False,
                    packet_sublanes: int = SUBLANES,
                    shade_rows: jnp.ndarray | None = None,
-                   shade_mode: int = 0):
+                   shade_mode: int = 0, shared_origin: bool = False):
     count = o.shape[0]
     block = LANES * packet_sublanes
     padded = -(-count // block) * block
@@ -645,7 +451,7 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
     kernel = functools.partial(
         _traverse_kernel8, max_leaf=max_leaf,
         cull_backface=cull_backface, any_hit=any_hit,
-        shade_mode=shade_mode)
+        shade_mode=shade_mode, shared_origin=shared_origin)
 
     f32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     i32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
@@ -709,7 +515,8 @@ def trace_nearest_packet8(bvh8, tris_packed, o, d, t_min, t_max,
                           cull_backface: bool = True,
                           any_hit: bool = False,
                           packet_sublanes: int = SUBLANES,
-                          shade_rows=None, shade_mode: int = 0):
+                          shade_rows=None, shade_mode: int = 0,
+                          shared_origin: bool = False):
     """BVH8 packet traversal; same contract as traverse.trace_nearest.
     With shade_mode > 0 (and shade_rows from pack_shade_records) the
     record also carries fused shading attributes: "n" + "mat" (mode 1),
@@ -719,7 +526,8 @@ def trace_nearest_packet8(bvh8, tris_packed, o, d, t_min, t_max,
                           jnp.asarray(t_max, jnp.float32),
                           bvh8.max_leaf, bvh8.depth, cull_backface, any_hit,
                           packet_sublanes=packet_sublanes,
-                          shade_rows=shade_rows, shade_mode=shade_mode)
+                          shade_rows=shade_rows, shade_mode=shade_mode,
+                          shared_origin=shared_origin)
 
 
 # ---------------------------------------------------------------------------
@@ -902,7 +710,13 @@ def _traverse_kernel8_inst(snodes_ref, tris_ref, inst_ref,
                         hit = (facing & (u >= 0.0) & (v >= 0.0)
                                & (u + v <= 1.0) & (t >= tmn[:])
                                & (t <= bt_ref[:]) & (l < cnt))
-                        bt_ref[:] = jnp.where(hit, t, bt_ref[:])
+                        if any_hit:
+                            # Any-hit lane kill — see the single-level
+                            # kernel's occlusion-query note.
+                            bt_ref[:] = jnp.where(
+                                hit, jnp.float32(-3e38), bt_ref[:])
+                        else:
+                            bt_ref[:] = jnp.where(hit, t, bt_ref[:])
                         bu_ref[:] = jnp.where(hit, u, bu_ref[:])
                         bv_ref[:] = jnp.where(hit, v, bv_ref[:])
                         bi_ref[:] = jnp.where(

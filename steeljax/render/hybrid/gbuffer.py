@@ -70,7 +70,8 @@ def trace_opaque(scene: FlatScene, tables: TraceTables, o, d, t_min, t_max,
     rejected rays and are skipped outright (lax.cond) when nothing was
     rejected — opaque scenes pay one reduction, not max_retrace traces."""
     rec = trace_nearest(tables, scene.tri_pos, scene.tri_double_sided, o, d,
-                        t_min, t_max, cull_backface=True)
+                        t_min, t_max, cull_backface=True,
+                        shared_origin=True)
     if not (scene.any_alpha_blend or scene.any_alpha_test):
         return rec
     tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
@@ -82,7 +83,7 @@ def trace_opaque(scene: FlatScene, tables: TraceTables, o, d, t_min, t_max,
             rec2 = trace_nearest(
                 tables, scene.tri_pos, scene.tri_double_sided, o, d,
                 rec["t"] + 1e-4, jnp.where(rejected, tmax, -1.0),
-                cull_backface=True)
+                cull_backface=True, shared_origin=True)
             return {k: jnp.where(rejected, rec2[k], rec[k]) for k in rec}
 
         return jax.lax.cond(jnp.any(rejected), do_retrace, lambda r: r, rec)

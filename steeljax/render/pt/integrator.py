@@ -232,7 +232,8 @@ def repack_rays(key, columns):
 
 def trace_material_ray(scene: FlatScene, tables: TraceTables, o, d,
                        t_min, t_max,
-                       cull_backface: bool, max_alpha_retrace: int):
+                       cull_backface: bool, max_alpha_retrace: int,
+                       shared_origin: bool = False):
     """Nearest hit honoring any-hit alpha testing: re-trace past rejected
     hits up to `max_alpha_retrace` times (the reference's unbounded any-hit
     loop is bounded here for static control flow).
@@ -253,7 +254,8 @@ def trace_material_ray(scene: FlatScene, tables: TraceTables, o, d,
         def trace(o, d, tmn, tmx):
             return trace_nearest(tables, scene.tri_pos,
                                  scene.tri_double_sided, o, d, tmn, tmx,
-                                 cull_backface=cull_backface)
+                                 cull_backface=cull_backface,
+                                 shared_origin=shared_origin)
 
     rec = trace(o, d, t_min, t_max)
     if not scene.any_alpha_test:
@@ -570,7 +572,8 @@ def direct_lighting(scene: FlatScene, tables: TraceTables, surface, tbn,
 # ---------------------------------------------------------------------------
 
 def trace_paths(scene: FlatScene, tables: TraceTables, o, d, seed,
-                t_min, t_max, config: RenderConfig):
+                t_min, t_max, config: RenderConfig,
+                primary_shared_origin: bool = False):
     """The bounce loop for a prepared ray batch (RayGen.rgen:344-407).
 
     Returns (irradiance (N, 3) clamped, seed, rays_traced scalar).  Shared
@@ -623,7 +626,13 @@ def trace_paths(scene: FlatScene, tables: TraceTables, o, d, seed,
             rec = trace_material_ray(
                 scene, tables, o, d, t_min, t_max,
                 cull_backface=config.backface_culling,
-                max_alpha_retrace=config.max_alpha_retrace)
+                max_alpha_retrace=config.max_alpha_retrace,
+                # Pinhole primaries share one origin, which the kernel
+                # exploits (scalar slab offsets + scalar Moller-Trumbore
+                # q/t terms).  NOT true for batched probe captures
+                # (capture_probes packs many probe origins in one call),
+                # so the caller must opt in.
+                shared_origin=(bounce == 0 and primary_shared_origin))
 
             weight = throughput / jnp.maximum(ray_pdf, 1e-30)[..., None]
 
@@ -735,7 +744,10 @@ def render_pixels(scene: FlatScene, tables: TraceTables,
         o, d, seed = primary_rays(inverse_view, inverse_proj, width, height,
                                   px, py, seed, render_to_cube)
         sample, seed, rays = trace_paths(
-            scene, tables, o, d, seed, camera_near, camera_far, config)
+            scene, tables, o, d, seed, camera_near, camera_far, config,
+            # primary_rays broadcasts ONE camera/probe position in both
+            # perspective and cube modes.
+            primary_shared_origin=True)
         total = total + sample
         rays_traced = rays_traced + rays
 
