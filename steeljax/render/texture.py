@@ -55,24 +55,15 @@ def _bilinear_level(atlas, tex_offset, tex_size, tex_id, uv, level):
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
 
-    def wrap(i, n):
-        return jnp.mod(i.astype(jnp.int32), n)
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
 
-    x0i = wrap(x0, w)
-    x1i = wrap(x0 + 1, w)
-    y0i = wrap(y0, h)
-    y1i = wrap(y0 + 1, h)
-
-    def fetch(xi, yi):
-        idx = off + yi * w + xi
-        return atlas[idx].astype(jnp.float32) * (1.0 / 255.0)
-
-    c00 = fetch(x0i, y0i)
-    c10 = fetch(x1i, y0i)
-    c01 = fetch(x0i, y1i)
-    c11 = fetch(x1i, y1i)
-    top = c00 * (1.0 - fx) + c10 * fx
-    bot = c01 * (1.0 - fx) + c11 * fx
+    # ONE quad-row gather covers the whole repeat-wrapped 2x2 footprint
+    # (scene.flatten._pack_texture_quads) — 4 separate texel gathers cost
+    # ~4x (per-index pricing on TPU).
+    quad = atlas[off + y0i * w + x0i].astype(jnp.float32) * (1.0 / 255.0)
+    top = quad[..., 0:4] * (1.0 - fx) + quad[..., 4:8] * fx
+    bot = quad[..., 8:12] * (1.0 - fx) + quad[..., 12:16] * fx
     return top * (1.0 - fy) + bot * fy
 
 

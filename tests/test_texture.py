@@ -7,8 +7,9 @@ from steeljax.render.texture import sample_bilinear
 
 
 def _pool(*images):
-    """Build a (mip-chained) texel pool like scene.flatten does."""
-    from steeljax.scene.flatten import MAX_TEX_MIPS, _downsample2
+    """Build a (mip-chained, quad-packed) texel pool like scene.flatten."""
+    from steeljax.scene.flatten import (MAX_TEX_MIPS, _downsample2,
+                                        _pack_texture_quads)
     offsets, sizes, chunks = [], [], []
     total = 0
     for img in images:
@@ -18,7 +19,7 @@ def _pool(*images):
         level = img
         for m in range(MAX_TEX_MIPS):
             mips.append(total)
-            chunks.append(level.reshape(-1, 4))
+            chunks.append(_pack_texture_quads(level))
             total += level.shape[0] * level.shape[1]
             if level.shape[0] == 1 and level.shape[1] == 1:
                 mips += [mips[-1]] * (MAX_TEX_MIPS - m - 1)
