@@ -150,7 +150,13 @@ def _part1by2(x):
 
 def _ray_sort_key(o, d, lo, inv_extent):
     """18-bit coherence key: 15-bit Morton cell of the origin (5 bits per
-    axis over the scene AABB), direction octant in the low 3 bits."""
+    axis over the scene AABB), direction octant in the low 3 bits.
+
+    Key-order ablation (1.6M-tri stress scene): octant-major looked ~6%
+    better on an isolated incoherent trace but measured consistently
+    WORSE in the full frame (0.59 vs 0.62 Mray/s) — with dead-ray
+    compaction in the top bits, origin locality matters more than a
+    shared traversal direction.  Morton-major stays."""
     q = jnp.clip((o - lo) * inv_extent * 32.0, 0.0, 31.0).astype(jnp.int32)
     morton = (_part1by2(q[:, 0]) | (_part1by2(q[:, 1]) << 1)
               | (_part1by2(q[:, 2]) << 2))
