@@ -75,15 +75,33 @@ def render_frame_sharded(scene, tables, inverse_view, inverse_proj,
                          camera_near, camera_far, width: int, height: int,
                          mesh: Mesh, accumulation_index=0, sample_index=0,
                          config: RenderConfig = RenderConfig()):
-    """Render one sharded frame; returns the (H, W, 3) host image."""
+    """Render one sharded frame; returns the (H, W, 3) host image.
+
+    The frame body runs under shard_map (not bare jit+propagation) so the
+    big-scene per-bounce ray repack (integrator.repack_rays, a lax.sort
+    over the pixel axis) stays DEVICE-LOCAL — under plain jit the SPMD
+    partitioner would lower that sort as a cross-device all-to-all every
+    bounce, breaking this module's zero-per-frame-collectives design.
+    Per-shard repacking is exact: each ray's path is independent of how
+    rays are grouped into devices (verified against the single-device
+    image in tests/test_multidevice.py)."""
     px, py, pad = shard_pixels(mesh, width, height)
     replicated = NamedSharding(mesh, P())
     scene = jax.device_put(scene, replicated)
     tables = jax.device_put(tables, replicated)
-    result = render_pixels(
-        scene, tables, jnp.asarray(inverse_view), jnp.asarray(inverse_proj),
-        camera_near, camera_far, width, height, px, py,
-        accumulation_index, sample_index, config)
+    spec = _pixel_spec(mesh)
+
+    def body(scene, tables, inverse_view, inverse_proj, px, py):
+        return render_pixels(
+            scene, tables, inverse_view, inverse_proj, camera_near,
+            camera_far, width, height, px, py, accumulation_index,
+            sample_index, config)
+
+    sharded = jax.shard_map(body, mesh=mesh,
+                            in_specs=(P(), P(), P(), P(), spec, spec),
+                            out_specs=spec, check_vma=False)
+    result = sharded(scene, tables, jnp.asarray(inverse_view),
+                     jnp.asarray(inverse_proj), px, py)
     flat = np.asarray(result)
     if pad:
         flat = flat[:-pad]
