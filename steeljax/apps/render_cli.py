@@ -35,11 +35,18 @@ def main(argv=None) -> int:
     parser.add_argument("--instancing", action="store_true",
                         help="two-level acceleration structure (per-"
                              "primitive BLAS + instance TLAS; pt mode)")
+    parser.add_argument("--validate", action="store_true",
+                        help="run structural invariant validation on the "
+                             "prepared scene/BVH (the validation-layers "
+                             "analog, core.validate)")
     args = parser.parse_args(argv)
 
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if args.validate:
+        import os
+        os.environ["STEELJAX_VALIDATE"] = "1"
 
     from steeljax.core.config import RenderConfig
     from steeljax.io.image import write_png

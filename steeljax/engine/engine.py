@@ -47,6 +47,24 @@ class Engine:
                              lambda _: self.renderer.update_camera())
         self.bus.add_handler(EventType.KEY_INPUT, self._on_key)
 
+        # UIRenderer analog (UIRenderer.cpp:106-125): an overlay text-
+        # binding list evaluated per frame.  Headless, the "overlay" is
+        # whatever the host does with the lines (render_cli logs them).
+        # The default binding mirrors the reference's frame time / FPS.
+        self.last_frame_seconds = 0.0
+        self.text_bindings: list[Callable[[], str]] = [
+            lambda: (f"Frame time: {self.last_frame_seconds * 1e3:.2f} ms "
+                     f"({1.0 / max(self.last_frame_seconds, 1e-9):.1f} FPS)")
+        ]
+
+    def add_text_binding(self, binding: Callable[[], str]) -> None:
+        """UIRenderer::BindText analog: register an overlay line."""
+        self.text_bindings.append(binding)
+
+    def overlay_lines(self) -> list[str]:
+        """Evaluate the overlay text bindings for the current frame."""
+        return [binding() for binding in self.text_bindings]
+
     # ---- input ----------------------------------------------------------
 
     def _on_key(self, event: KeyInput) -> None:
@@ -82,7 +100,9 @@ class Engine:
         if self.scene.revision != self._scene_revision:
             self.renderer.refresh_scene()
             self._scene_revision = self.scene.revision
+        start = time.perf_counter()
         frame = self.renderer.render_frame()
+        self.last_frame_seconds = time.perf_counter() - start
         self.frame_index += 1
         return frame
 

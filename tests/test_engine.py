@@ -207,3 +207,20 @@ def test_typed_input_enums_normalize():
     assert m.button == "left" and m.action == "release"
     flags = ModifierFlags.SHIFT | ModifierFlags.CONTROL
     assert ModifierFlags.SHIFT in flags and ModifierFlags.ALT not in flags
+
+
+def test_overlay_text_bindings():
+    """UIRenderer analog: default frame-time binding + BindText-style
+    registration (UIRenderer.cpp:106-125)."""
+    from steeljax.core.config import RenderConfig
+    from steeljax.engine.engine import Engine
+    from steeljax.scene.builtin import make_cornell_scene
+
+    engine = Engine(make_cornell_scene(sphere_detail=4), width=16,
+                    height=16, config=RenderConfig(width=16, height=16))
+    engine.add_text_binding(lambda: f"frame {engine.frame_index}")
+    engine.tick(1 / 30)
+    lines = engine.overlay_lines()
+    assert len(lines) == 2
+    assert lines[0].startswith("Frame time: ") and "FPS" in lines[0]
+    assert lines[1] == "frame 1"
