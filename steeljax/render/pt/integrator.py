@@ -95,7 +95,16 @@ def shade_rows(scene: FlatScene, tables, rec):
 
     inst = jnp.maximum(rec["inst"], 0)
     geo = tables.blas_shade[tri]        # (N, 28) object space
-    irow = tables.inst_shade[inst]      # (N, 48)
+    n_inst = tables.inst_shade.shape[0]
+    if n_inst <= 32:
+        # Select chain over a small instance count — a per-index gather
+        # costs ~10 ms per 2M rays even from a tiny table.
+        irow = jnp.broadcast_to(tables.inst_shade[0], inst.shape + (48,))
+        for i in range(1, n_inst):
+            irow = jnp.where((inst == i)[:, None], tables.inst_shade[i],
+                             irow)
+    else:
+        irow = tables.inst_shade[inst]  # (N, 48)
     nm = irow[:, 0:9]
     wl = irow[:, 9:18]
 
