@@ -30,6 +30,12 @@ from steeljax.accel.bvh import BVH, BVH8, _morton3, build_bvh, collapse_bvh8
 # VMEM budget per chunk: tris_packed is 64 B/tri; leave room for rays,
 # outputs, and the supernode table.
 MAX_CHUNK_TRIS = 1_200_000
+# Chunks above this row count are traced with halved packets (deep trees
+# are leaf-VPU-bound on incoherent packets) and skip the fused shade
+# tables (tris+shade past this spills scoped VMEM and collapses the
+# kernel — measured 23 -> 0.4 Mray/s on the 1.6M-tri stress scene).
+BIG_CHUNK_ROWS = 400_000
+SUBLANES_BIG = 16
 
 
 @struct.dataclass
@@ -175,11 +181,11 @@ def attach_shade_tables(tables: TraceTables, tri_nrm, tri_tan, tri_uv,
     if not tables.use_pallas:
         return tables
     # The shade table shares chunk VMEM with tris_packed (+64 B/tri in
-    # mode 1, +128 B/tri in mode 2); past ~400k-row chunks the combined
-    # footprint spills VMEM and the kernel collapses (measured 23 -> 0.4
-    # Mray/s on the 1.6M-tri stress scene).  Huge chunks keep the gather
-    # path, whose fixed ~12 ns/ray cost is small next to their trace.
-    if max(chunk.rows for chunk in tables.chunks) > 400_000:
+    # mode 1, +128 B/tri in mode 2); past BIG_CHUNK_ROWS the combined
+    # footprint spills VMEM and the kernel collapses.  Huge chunks keep
+    # the gather path, whose fixed ~12 ns/ray cost is small next to their
+    # trace.
+    if max(chunk.rows for chunk in tables.chunks) > BIG_CHUNK_ROWS:
         return tables
     tri_nrm = np.asarray(tri_nrm)
     tri_tan = np.asarray(tri_tan)
@@ -247,7 +253,8 @@ def trace_nearest(tables: TraceTables, tri_pos, tri_double_sided, o, d,
             if tables.use_pallas:
                 # Deep trees are leaf-VPU-bound on incoherent packets;
                 # halving the packet trims wasted lane work ~10%.
-                subl = 16 if chunk.rows > 400_000 else ptv.SUBLANES
+                subl = (SUBLANES_BIG if chunk.rows > BIG_CHUNK_ROWS
+                        else ptv.SUBLANES)
                 return ptv.trace_nearest_packet8(
                     chunk.bvh8, chunk.tris_packed, o, d, t_min, chunk_tmax,
                     cull_backface=cull_backface, packet_sublanes=subl,

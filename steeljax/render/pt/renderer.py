@@ -93,15 +93,6 @@ def prepare_scene(scene: Scene, env_resolution: int = 256,
         "tri_double_sided": np.asarray(flat.tri_double_sided),
         "tri_shade": np.asarray(flat.tri_shade),
     })
-    flat = flat.replace(
-        tri_pos=jnp.asarray(permuted["tri_pos"]),
-        tri_nrm=jnp.asarray(permuted["tri_nrm"]),
-        tri_tan=jnp.asarray(permuted["tri_tan"]),
-        tri_uv=jnp.asarray(permuted["tri_uv"]),
-        tri_mat=jnp.asarray(permuted["tri_mat"]),
-        tri_double_sided=jnp.asarray(permuted["tri_double_sided"]),
-        tri_shade=jnp.asarray(permuted["tri_shade"]),
-    )
     # Fused trace+shade kernel tables (TPU): the kernel emits interpolated
     # shading attributes, killing the per-bounce tri_shade row gather
     # (~12 ns/index on TPU).  Alpha-test scenes keep the gather path (the
@@ -113,6 +104,24 @@ def prepare_scene(scene: Scene, env_resolution: int = 256,
             permuted["tri_uv"], permuted["tri_mat"],
             textured=flat.has_textures,
             tri_uvd=permuted["tri_shade"][:, 27])
+    # Promote to DEVICE exactly the per-triangle arrays this path gathers
+    # (the rest stay host numpy — jit prunes unused args, so they are
+    # never shipped through the ~1 MB/s axon tunnel).  The Pallas kernels
+    # read only their packed VMEM tables; tri_shade row gathers still run
+    # when fused shading is off or alpha materials force row reads.
+    needs_rows = (not tables.use_pallas) or tables.shade_mode == 0 \
+        or flat.any_alpha_test or flat.any_alpha_blend
+    dev = jnp.asarray if not tables.use_pallas else (lambda x: x)
+    flat = flat.replace(
+        tri_pos=dev(permuted["tri_pos"]),
+        tri_nrm=dev(permuted["tri_nrm"]),
+        tri_tan=dev(permuted["tri_tan"]),
+        tri_uv=dev(permuted["tri_uv"]),
+        tri_mat=dev(permuted["tri_mat"]),
+        tri_double_sided=dev(permuted["tri_double_sided"]),
+        tri_shade=(jnp.asarray(permuted["tri_shade"]) if needs_rows
+                   else permuted["tri_shade"]),
+    )
     # Structural validation (the validation-layers analog): opt-in via
     # STEELJAX_VALIDATE=1; always on in the test suite (core.validate).
     from steeljax.core import validate as validate_lib

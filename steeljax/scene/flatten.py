@@ -329,10 +329,16 @@ def flatten_scene(scene: Scene, env_cube: np.ndarray | None = None) -> FlatScene
     from steeljax.env.cubemap import pack_cube_quads
     env_quads = pack_cube_quads(np.asarray(env_cube, np.float32))
 
+    # Per-triangle arrays stay HOST (numpy) leaves: jit prunes unused args
+    # (keep_unused=False), so paths that never read them (the fused Pallas
+    # kernels, the instanced tables) never pay the host->device transfer —
+    # on the axon tunnel (~1 MB/s) a 1M-triangle scene's flat arrays are
+    # minutes of upload.  prepare_scene promotes to device exactly the
+    # arrays its chosen trace/shade path gathers.
     return FlatScene(
-        tri_pos=jnp.asarray(tri_pos), tri_nrm=jnp.asarray(tri_nrm),
-        tri_tan=jnp.asarray(tri_tan), tri_uv=jnp.asarray(tri_uv),
-        tri_mat=jnp.asarray(tri_mat), tri_double_sided=jnp.asarray(tri_ds),
+        tri_pos=tri_pos, tri_nrm=tri_nrm,
+        tri_tan=tri_tan, tri_uv=tri_uv,
+        tri_mat=tri_mat, tri_double_sided=tri_ds,
         mat_base_color=jnp.asarray(mat_base_color),
         mat_emission=jnp.asarray(mat_emission),
         mat_params=jnp.asarray(mat_params),
@@ -344,7 +350,7 @@ def flatten_scene(scene: Scene, env_cube: np.ndarray | None = None) -> FlatScene
         light_location=jnp.asarray(light_location),
         light_color=jnp.asarray(light_color),
         env_cube=jnp.asarray(env_cube),
-        tri_shade=jnp.asarray(tri_shade),
+        tri_shade=tri_shade,
         mat_packed=jnp.asarray(mat_packed),
         mat_emission_linear=jnp.asarray(_to_linear_np(mat_emission)),
         env_quads=jnp.asarray(env_quads),
