@@ -233,9 +233,16 @@ def _skippable(fn, any_possible, template):
                         lambda _: template, 0)
 
 
-def trace_nearest(tables: TraceTables, tri_pos, tri_double_sided, o, d,
+def trace_nearest(tables, tri_pos, tri_double_sided, o, d,
                   t_min, t_max, cull_backface: bool = True,
                   shared_origin: bool = False):
+    # Two-level instanced tables answer the same query; callers (hybrid
+    # stages, GI bakes) stay backend-agnostic.
+    from steeljax.accel.instances import (InstancedTables,
+                                          trace_nearest_instanced)
+    if isinstance(tables, InstancedTables):
+        return trace_nearest_instanced(tables, o, d, t_min, t_max,
+                                       cull_backface=cull_backface)
     best = None
     tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o.shape[:1])
@@ -296,8 +303,14 @@ def trace_nearest(tables: TraceTables, tri_pos, tri_double_sided, o, d,
     return best
 
 
-def trace_any(tables: TraceTables, tri_pos, tri_double_sided, o, d,
+def trace_any(tables, tri_pos, tri_double_sided, o, d,
               t_min, t_max):
+    from steeljax.accel.instances import (InstancedTables,
+                                          trace_nearest_instanced)
+    if isinstance(tables, InstancedTables):
+        return trace_nearest_instanced(tables, o, d, t_min, t_max,
+                                       cull_backface=False,
+                                       any_hit=True)["hit"]
     occluded = None
     tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o.shape[:1])

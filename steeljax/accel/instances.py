@@ -46,15 +46,25 @@ class InstancedTables:
     """Device tables for two-level traversal (pytree)."""
     snode_rows: jnp.ndarray    # (S, 128) f32 — TLAS rows, then BLAS rows
     tris_packed: jnp.ndarray   # (R, 128) f32 — concatenated BLAS records
-    inst_trace: jnp.ndarray    # (I, 16) f32: inverse world 3x4 row-major
-    #                            (12), blas root supernode (1),
-    #                            double_sided (1), pad (2)
+    inst_trace: jnp.ndarray    # (I, 48) f32 — layout in
+    #                            pallas_traverse._INST_COLS: inverse world
+    #                            3x4 (12), blas root (1), double_sided
+    #                            (1), material id (1), 1/scale (1),
+    #                            normal matrix (16:25), world linear
+    #                            (25:34)
     inst_shade: jnp.ndarray    # (I, 48) f32: normal matrix (9), world
     #                            linear (9), material row (18:46 matching
     #                            tri_shade cols 28:56), uniform scale (46)
     blas_shade: jnp.ndarray    # (T, 28) f32 object-space geometric rows
-    depth: int = struct.field(pytree_node=False)
-    max_leaf: int = struct.field(pytree_node=False)
+    # Split of the unified supernode table (device scalar so instance-
+    # count changes never recompile the kernel).
+    n_tlas: jnp.ndarray = None  # () int32
+    # Fused-shading record rows (pack_shade_records layout, object space,
+    # concatenated per BLAS like tris_packed); None on the gather path.
+    shade_rows: jnp.ndarray | None = None
+    shade_mode: int = struct.field(pytree_node=False, default=0)
+    depth: int = struct.field(pytree_node=False, default=1)
+    max_leaf: int = struct.field(pytree_node=False, default=24)
     use_pallas: bool = struct.field(pytree_node=False, default=False)
     # Scene bounds (device arrays, so instance motion never recompiles) —
     # feed the ray-coherence sort keys (integrator.scene_bounds).
@@ -100,6 +110,9 @@ class _Blas:
         self.rows8 = rows8
         self.depth8 = depth8
         self.tris_packed = ptv.pack_tris(self.tri_pos, self.tri_ds)
+        self.tri_nrm = permuted["tri_nrm"]
+        self.tri_tan = permuted["tri_tan"]
+        self.tri_uv = permuted["tri_uv"]
         self.shade = pack_tri_shade(
             permuted["tri_nrm"], permuted["tri_tan"], permuted["tri_uv"],
             permuted["tri_pos"])[:, :28]
@@ -232,16 +245,16 @@ class InstancedAccel:
             self.blas_builds += 1
         return key, blas
 
-    def _pack_blas_tables(self, tlas_rows: np.ndarray):
+    def _pack_blas_tables(self, shade_mode: int):
         """Concatenate TLAS + cached BLAS tables into unified arrays.
         The BLAS section is cached on device and reused across revisions;
         only the TLAS prefix (O(instances)) changes."""
-        key = tuple(sorted(self._blas))
+        key = (tuple(sorted(self._blas)), shade_mode)
         if self._packed_key != key:
             offsets = {}
-            rows_parts, tri_parts, shade_parts = [], [], []
-            srow, trow, tri0 = 0, 0, 0
-            for bkey in key:
+            rows_parts, tri_parts, shade_parts, fused_parts = [], [], [], []
+            srow, tri0 = 0, 0
+            for bkey in key[0]:
                 blas = self._blas[bkey]
                 offsets[bkey] = (srow, tri0)
                 rows = blas.rows8.copy()
@@ -254,6 +267,15 @@ class InstancedAccel:
                 rows_parts.append(rows)
                 tri_parts.append(blas.tris_packed)
                 shade_parts.append(blas.shade)
+                if shade_mode:
+                    # Object-space fused records; the material column is
+                    # overridden per instance inside the kernel, uvd is
+                    # object-space (scaled by 1/instance-scale at trace).
+                    fused_parts.append(ptv.pack_shade_records(
+                        blas.tri_nrm, blas.tri_tan, blas.tri_uv,
+                        np.zeros(blas.padded, np.float32),
+                        textured=shade_mode == 2,
+                        tri_uvd=blas.shade[:, 27]))
                 srow += len(rows)
                 tri0 += blas.padded
             self._packed = (
@@ -263,6 +285,8 @@ class InstancedAccel:
                 else jnp.zeros((0, 128), jnp.float32),
                 jnp.asarray(np.concatenate(shade_parts)) if shade_parts
                 else jnp.zeros((0, 28), jnp.float32),
+                (jnp.asarray(np.concatenate(fused_parts))
+                 if fused_parts else None),
                 offsets)
             self._packed_key = key
         return self._packed
@@ -272,26 +296,36 @@ class InstancedAccel:
         entity state (the per-frame BuildTlas analog)."""
         from steeljax.scene.material import MaterialFlags
 
-        entries = []   # (blas key, world, material)
+        entries = []   # (blas key, world, material, material id)
         for ei in scene.renderable_entities():
             world = scene.world_transform(ei)
             for ro in scene.entities[ei].render_objects:
                 bkey, _ = self._get_blas(scene.primitives[ro.primitive])
                 entries.append((bkey, np.asarray(world, np.float32),
-                                scene.materials[ro.material]))
+                                scene.materials[ro.material], ro.material))
 
-        blas_rows, tris_packed, blas_shade, offsets = \
-            self._pack_blas_tables(None)
+        # Fused shading mirrors the flat path's gating: alpha-test
+        # materials force the row-gather path (the bounded any-hit
+        # re-trace reads full rows).
+        any_alpha_test = any(
+            (m.flags & MaterialFlags.ALPHA_TEST)
+            and m.base_color_texture >= 0 for m in scene.materials)
+        shade_mode = 0
+        if self.use_pallas and not any_alpha_test:
+            shade_mode = 2 if scene.textures else 1
+
+        blas_rows, tris_packed, blas_shade, fused_rows, offsets = \
+            self._pack_blas_tables(shade_mode)
         n_blas_rows = len(blas_rows)
 
         count = len(entries)
         lo = np.zeros((count, 3), np.float32)
         hi = np.zeros((count, 3), np.float32)
-        inst_trace = np.zeros((count, 16), np.float32)
+        inst_trace = np.zeros((count, 48), np.float32)
         inst_shade = np.zeros((count, 48), np.float32)
         cpu_blas_keys = []
         max_blas_depth = 1
-        for i, (bkey, world, mat) in enumerate(entries):
+        for i, (bkey, world, mat, mid) in enumerate(entries):
             blas = self._blas[bkey]
             srow, _ = offsets[bkey]
             inv = np.linalg.inv(world)[:3, :4]
@@ -300,10 +334,15 @@ class InstancedAccel:
                 bool(mat.flags & MaterialFlags.DOUBLE_SIDED))
             lin = world[:3, :3]
             nmat = np.linalg.inv(lin).T
+            scale = float(np.cbrt(abs(np.linalg.det(lin))))
+            inst_trace[i, 14] = float(mid)
+            inst_trace[i, 15] = 1.0 / max(scale, 1e-6)
+            inst_trace[i, 16:25] = nmat.reshape(-1)
+            inst_trace[i, 25:34] = lin.reshape(-1)
             inst_shade[i, 0:9] = nmat.reshape(-1)
             inst_shade[i, 9:18] = lin.reshape(-1)
             inst_shade[i, 18:46] = _pack_inst_material(mat)
-            inst_shade[i, 46] = float(np.cbrt(abs(np.linalg.det(lin))))
+            inst_shade[i, 46] = scale
             # World AABB = transformed object AABB corners.
             cs = np.stack(np.meshgrid(
                 [blas.lo[0], blas.hi[0]], [blas.lo[1], blas.hi[1]],
@@ -344,6 +383,9 @@ class InstancedAccel:
             inst_shade=jnp.asarray(inst_shade),
             blas_shade=(blas_shade if isinstance(blas_shade, jnp.ndarray)
                         else jnp.asarray(blas_shade)),
+            n_tlas=jnp.asarray(n_tlas, jnp.int32),
+            shade_rows=fused_rows,
+            shade_mode=shade_mode,
             depth=tlas_depth + 1 + max_blas_depth,
             max_leaf=self.leaf_size,
             use_pallas=self.use_pallas,

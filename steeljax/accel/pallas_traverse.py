@@ -536,62 +536,178 @@ def trace_nearest_packet8(bvh8, tris_packed, o, d, t_min, t_max,
 
 _INST_LEAF_BITS = 19  # tri_row bits in instanced leaf encodings (4M tris)
 
+# inst_trace row layout (accel.instances.InstancedTables.inst_trace,
+# (I, 48) f32 — a VMEM row is 128 lanes regardless, so the widening from
+# 16 is free):
+#   0:12   inverse world transform, 3x4 row-major
+#   12     BLAS root supernode id (unified table)
+#   13     double-sided flag
+#   14     material id
+#   15     1 / uniform scale   (uv-density world correction)
+#   16:25  normal matrix       (inverse-transpose linear, row-major)
+#   25:34  world linear matrix (tangent rotation, mode 2)
+_INST_COLS = 48
 
-def _traverse_kernel8_inst(snodes_ref, tris_ref, inst_ref,
-                           ox, oy, oz, dx, dy, dz, tmn, tmx,
-                           out_t, out_u, out_v, out_i, out_inst,
-                           stack_ref, sp_ref, cur_inst_ref, cur_ds_ref,
-                           bt_ref, bu_ref, bv_ref, bi_ref, binst_ref,
-                           cox, coy, coz, cdx, cdy, cdz,
-                           civx, civy, civz,
-                           *, max_leaf: int,
-                           cull_backface: bool, any_hit: bool = False):
+
+def _traverse_kernel8_inst(*refs, max_leaf: int, cull_backface: bool,
+                           any_hit: bool = False, shade_mode: int = 0):
     """Two-level packet traversal (instance TLAS -> object-space BLAS).
 
     Stack entries (int32): >= 0 is a unified supernode id (TLAS rows
-    first, then BLAS rows — accel.instances).  Negative entries encode
-    enc = -entry - 1 with tag = enc & 3, payload = enc >> 2:
+    first, then BLAS rows — accel.instances; the scalar n_tlas input
+    splits the ranges).  Negative entries encode enc = -entry - 1 with
+    tag = enc & 1, payload = enc >> 1:
       tag 0: triangle leaf, payload = tri_row | count << 19
       tag 1: instance enter (payload = instance id): transform the whole
              packet into the instance's object space (uniform scalar
-             reads from inst_ref) and push [restore, blas_root]
-      tag 2: restore world-space rays
+             reads from inst_ref) and push the BLAS root.
 
-    LIFO bracketing guarantees the scratch ray state matches every
-    popped entry's space: a BLAS subtree is fully traversed between its
-    instance-enter and its restore, and sibling instance subtrees are
-    themselves bracketed.  t is the world ray parameter throughout
-    (affine transform, unnormalized object direction), so best-t pruning
-    works across levels.  Triangle facing uses OBJECT-space winding —
-    Vulkan's default (no FLIP_FACING instance bit in the reference).
+    There is NO restore entry: TLAS supernodes slab-test against the
+    world-space ray refs and BLAS supernodes/leaves against the current
+    instance's object-space scratch (the id-threshold scalar branch is
+    free next to the transform the old restore sentinel re-ran per
+    instance).  LIFO bracketing guarantees a BLAS subtree is fully
+    traversed before the next instance-enter pops, so one object-space
+    scratch suffices.  t is the world ray parameter throughout (affine
+    transform, unnormalized object direction), so best-t pruning works
+    across levels.  Triangle facing uses OBJECT-space winding — Vulkan's
+    default (no FLIP_FACING instance bit in the reference).
+
+    shade_mode > 0 fuses shading like the single-level kernel: object-
+    space vertex attributes are interpolated per candidate hit and
+    rotated into world space with the instance's normal matrix (uniform
+    scalars stashed at instance-enter), the material id comes from the
+    instance row, and the winner is kept by select — no post-trace
+    gathers at all.  Mode 1 emits (world normal, material id); mode 2
+    adds (world tangent, uv, uv density).
     """
     f32 = jnp.float32
+    it = iter(refs)
+    n_tlas_ref = next(it)
+    snodes_ref = next(it)
+    tris_ref = next(it)
+    inst_ref = next(it)
+    shade_ref = next(it) if shade_mode else None
+    ox, oy, oz, dx, dy, dz, tmn, tmx = (next(it) for _ in range(8))
+    out_t, out_u, out_v, out_i, out_inst = (next(it) for _ in range(5))
+    if shade_mode:
+        out_nx, out_ny, out_nz, out_mat = (next(it) for _ in range(4))
+    if shade_mode == 2:
+        out_tx, out_ty, out_tz, out_ux, out_uy, out_uvd = (
+            next(it) for _ in range(6))
+    stack_ref = next(it)
+    sp_ref = next(it)
+    scal_ref = next(it)   # SMEM f32: [ds, mat, uvds, nm(9) @3:12, wl(9)]
+    cur_inst_ref = next(it)
+    bt_ref, bu_ref, bv_ref, bi_ref, binst_ref = (next(it) for _ in range(5))
+    cox, coy, coz, cdx, cdy, cdz = (next(it) for _ in range(6))
+    civx, civy, civz = (next(it) for _ in range(3))
+    ivx, ivy, ivz = (next(it) for _ in range(3))
+    if shade_mode:
+        bnx_ref, bny_ref, bnz_ref, bmat_ref, bdet_ref = (
+            next(it) for _ in range(5))
+    if shade_mode == 2:
+        btx_ref, bty_ref, btz_ref, bux_ref, buy_ref, buvd_ref = (
+            next(it) for _ in range(6))
 
     def safe_inv(d):
         return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
                                jnp.where(d < 0, -1e-12, 1e-12), d)
 
-    # Current-space ray scratch (world at start / after restore).
-    cox[:] = ox[:]
-    coy[:] = oy[:]
-    coz[:] = oz[:]
-    cdx[:] = dx[:]
-    cdy[:] = dy[:]
-    cdz[:] = dz[:]
-    civx[:] = safe_inv(dx[:])
-    civy[:] = safe_inv(dy[:])
-    civz[:] = safe_inv(dz[:])
+    n_tlas = n_tlas_ref[0]
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+    # World-space inverse directions persist for every TLAS pop.
+    ivx[:] = safe_inv(d_x)
+    ivy[:] = safe_inv(d_y)
+    ivz[:] = safe_inv(d_z)
 
     bt_ref[:] = tmx[:]
     bu_ref[:] = jnp.zeros_like(tmx[:])
     bv_ref[:] = jnp.zeros_like(tmx[:])
     bi_ref[:] = jnp.full(tmx.shape, -1, jnp.int32)
     binst_ref[:] = jnp.full(tmx.shape, -1, jnp.int32)
+    if shade_mode:
+        bnx_ref[:] = jnp.zeros_like(tmx[:])
+        bny_ref[:] = jnp.zeros_like(tmx[:])
+        bnz_ref[:] = jnp.ones_like(tmx[:])
+        bmat_ref[:] = jnp.zeros_like(tmx[:])
+        bdet_ref[:] = jnp.ones_like(tmx[:])
+    if shade_mode == 2:
+        btx_ref[:] = jnp.ones_like(tmx[:])
+        bty_ref[:] = jnp.zeros_like(tmx[:])
+        btz_ref[:] = jnp.zeros_like(tmx[:])
+        bux_ref[:] = jnp.zeros_like(tmx[:])
+        buy_ref[:] = jnp.zeros_like(tmx[:])
+        buvd_ref[:] = jnp.zeros_like(tmx[:])
 
     stack_ref[0] = 0
     sp_ref[0] = 1
     cur_inst_ref[0] = -1
-    cur_ds_ref[0] = 0.0
+    scal_ref[0] = 0.0
+
+    def slab_sort_push(row, use_world):
+        """8-child slab test + ordered push (shared by both levels)."""
+        big = jnp.float32(3.0e38)
+        keys = []
+        vals = []
+        for c in range(8):
+            off = 16 * c
+            if use_world:
+                t0x = (row[off + 0] - o_x) * ivx[:]
+                t1x = (row[off + 3] - o_x) * ivx[:]
+                t0y = (row[off + 1] - o_y) * ivy[:]
+                t1y = (row[off + 4] - o_y) * ivy[:]
+                t0z = (row[off + 2] - o_z) * ivz[:]
+                t1z = (row[off + 5] - o_z) * ivz[:]
+            else:
+                t0x = (row[off + 0] - cox[:]) * civx[:]
+                t1x = (row[off + 3] - cox[:]) * civx[:]
+                t0y = (row[off + 1] - coy[:]) * civy[:]
+                t1y = (row[off + 4] - coy[:]) * civy[:]
+                t0z = (row[off + 2] - coz[:]) * civz[:]
+                t1z = (row[off + 5] - coz[:]) * civz[:]
+            near = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x),
+                            jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z))
+            far = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x),
+                            jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z))
+            hit = (near <= far) & (far >= tmn[:]) & (near <= bt_ref[:])
+            meta0 = row[off + 6].astype(jnp.int32)
+            meta1 = row[off + 7].astype(jnp.int32)
+            near_min = jnp.min(jnp.where(hit, near, big))
+            is_leaf_child = meta1 > 0
+            is_inst_child = meta1 < 0
+            leaf_enc = -((((meta0 // 8)
+                           | (meta1 << _INST_LEAF_BITS)) << 1) + 1)
+            inst_enc = -(((meta0 << 1) | 1) + 1)
+            entry_val = jnp.where(
+                is_leaf_child, leaf_enc,
+                jnp.where(is_inst_child, inst_enc, meta0))
+            keys.append(jnp.where(meta0 >= 0, near_min, big))
+            vals.append(entry_val)
+
+        network = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
+                   (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (1, 5),
+                   (2, 6), (3, 7), (2, 4), (3, 5), (1, 2), (3, 4),
+                   (5, 6)]
+        for i, j in network:
+            swap = keys[i] < keys[j]
+            ki = jnp.where(swap, keys[j], keys[i])
+            kj = jnp.where(swap, keys[i], keys[j])
+            vi = jnp.where(swap, vals[j], vals[i])
+            vj = jnp.where(swap, vals[i], vals[j])
+            keys[i], keys[j] = ki, kj
+            vals[i], vals[j] = vi, vj
+
+        for c in range(8):
+            do_push = keys[c] < big
+            s = sp_ref[0]
+            stack_ref[s] = vals[c]
+            sp_ref[0] = s + do_push.astype(jnp.int32)
 
     def cond(_):
         return sp_ref[0] > 0
@@ -604,74 +720,35 @@ def _traverse_kernel8_inst(snodes_ref, tris_ref, inst_ref,
         @pl.when(entry >= 0)
         def _supernode():
             row = snodes_ref[entry]
-            big = jnp.float32(3.0e38)
-            keys = []
-            vals = []
-            for c in range(8):
-                off = 16 * c
-                t0x = (row[off + 0] - cox[:]) * civx[:]
-                t1x = (row[off + 3] - cox[:]) * civx[:]
-                t0y = (row[off + 1] - coy[:]) * civy[:]
-                t1y = (row[off + 4] - coy[:]) * civy[:]
-                t0z = (row[off + 2] - coz[:]) * civz[:]
-                t1z = (row[off + 5] - coz[:]) * civz[:]
-                near = jnp.maximum(
-                    jnp.maximum(jnp.minimum(t0x, t1x),
-                                jnp.minimum(t0y, t1y)),
-                    jnp.minimum(t0z, t1z))
-                far = jnp.minimum(
-                    jnp.minimum(jnp.maximum(t0x, t1x),
-                                jnp.maximum(t0y, t1y)),
-                    jnp.maximum(t0z, t1z))
-                hit = (near <= far) & (far >= tmn[:]) & (near <= bt_ref[:])
-                meta0 = row[off + 6].astype(jnp.int32)
-                meta1 = row[off + 7].astype(jnp.int32)
-                near_min = jnp.min(jnp.where(hit, near, big))
-                is_leaf_child = meta1 > 0
-                is_inst_child = meta1 < 0
-                leaf_enc = -((((meta0 // 8)
-                               | (meta1 << _INST_LEAF_BITS)) << 2) + 1)
-                inst_enc = -(((meta0 << 2) | 1) + 1)
-                entry_val = jnp.where(
-                    is_leaf_child, leaf_enc,
-                    jnp.where(is_inst_child, inst_enc, meta0))
-                keys.append(jnp.where(meta0 >= 0, near_min, big))
-                vals.append(entry_val)
 
-            network = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
-                       (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (1, 5),
-                       (2, 6), (3, 7), (2, 4), (3, 5), (1, 2), (3, 4),
-                       (5, 6)]
-            for i, j in network:
-                swap = keys[i] < keys[j]
-                ki = jnp.where(swap, keys[j], keys[i])
-                kj = jnp.where(swap, keys[i], keys[j])
-                vi = jnp.where(swap, vals[j], vals[i])
-                vj = jnp.where(swap, vals[i], vals[j])
-                keys[i], keys[j] = ki, kj
-                vals[i], vals[j] = vi, vj
+            @pl.when(entry < n_tlas)
+            def _tlas():
+                slab_sort_push(row, use_world=True)
 
-            for c in range(8):
-                do_push = keys[c] < big
-                s = sp_ref[0]
-                stack_ref[s] = vals[c]
-                sp_ref[0] = s + do_push.astype(jnp.int32)
+            @pl.when(entry >= n_tlas)
+            def _blas():
+                slab_sort_push(row, use_world=False)
 
         @pl.when(entry < 0)
         def _encoded():
             enc = -entry - 1
-            tag = enc & 3
-            payload = enc >> 2
+            tag = enc & 1
+            payload = enc >> 1
 
             @pl.when(tag == 0)
             def _leaf():
                 row_base = payload & ((1 << _INST_LEAF_BITS) - 1)
                 cnt = payload >> _INST_LEAF_BITS
                 inst = cur_inst_ref[0]
-                inst_ds = cur_ds_ref[0]
+                inst_ds = scal_ref[0]
 
                 def intersect_row(r):
                     trow = tris_ref[row_base + r]
+                    if shade_mode == 1:
+                        srow0 = shade_ref[row_base + r]
+                    elif shade_mode == 2:
+                        srow0 = shade_ref[(row_base + r) * 2]
+                        srow1 = shade_ref[(row_base + r) * 2 + 1]
                     for j in range(8):
                         l = r * 8 + j
                         off = 16 * j
@@ -722,6 +799,68 @@ def _traverse_kernel8_inst(snodes_ref, tris_ref, inst_ref,
                         bi_ref[:] = jnp.where(
                             hit, row_base * 8 + jnp.int32(l), bi_ref[:])
                         binst_ref[:] = jnp.where(hit, inst, binst_ref[:])
+                        if shade_mode:
+                            if shade_mode == 1:
+                                srow, soff = srow0, off
+                            else:
+                                srow = srow0 if j < 4 else srow1
+                                soff = 32 * (j % 4)
+                            # Interpolate OBJECT-space attributes, rotate
+                            # into world with the instance's (uniform
+                            # scalar) normal matrix.  det keeps its
+                            # object-space sign: d_world . n_world ==
+                            # d_obj . n_obj under n_world = inv(L)^T
+                            # n_obj, so the winding flip is unchanged.
+                            wb = 1.0 - u - v
+                            nx = (srow[soff + 0] * wb + srow[soff + 3] * u
+                                  + srow[soff + 6] * v)
+                            ny = (srow[soff + 1] * wb + srow[soff + 4] * u
+                                  + srow[soff + 7] * v)
+                            nz = (srow[soff + 2] * wb + srow[soff + 5] * u
+                                  + srow[soff + 8] * v)
+                            wx = (scal_ref[3] * nx + scal_ref[4] * ny
+                                  + scal_ref[5] * nz)
+                            wy = (scal_ref[6] * nx + scal_ref[7] * ny
+                                  + scal_ref[8] * nz)
+                            wz = (scal_ref[9] * nx + scal_ref[10] * ny
+                                  + scal_ref[11] * nz)
+                            bnx_ref[:] = jnp.where(hit, wx, bnx_ref[:])
+                            bny_ref[:] = jnp.where(hit, wy, bny_ref[:])
+                            bnz_ref[:] = jnp.where(hit, wz, bnz_ref[:])
+                            bmat_ref[:] = jnp.where(
+                                hit, scal_ref[1], bmat_ref[:])
+                            bdet_ref[:] = jnp.where(hit, det, bdet_ref[:])
+                        if shade_mode == 2:
+                            tx0 = (srow[soff + 10] * wb
+                                   + srow[soff + 13] * u
+                                   + srow[soff + 16] * v)
+                            ty0 = (srow[soff + 11] * wb
+                                   + srow[soff + 14] * u
+                                   + srow[soff + 17] * v)
+                            tz0 = (srow[soff + 12] * wb
+                                   + srow[soff + 15] * u
+                                   + srow[soff + 18] * v)
+                            # Tangents rotate with the plain linear part.
+                            btx_ref[:] = jnp.where(
+                                hit, scal_ref[12] * tx0 + scal_ref[13] * ty0
+                                + scal_ref[14] * tz0, btx_ref[:])
+                            bty_ref[:] = jnp.where(
+                                hit, scal_ref[15] * tx0 + scal_ref[16] * ty0
+                                + scal_ref[17] * tz0, bty_ref[:])
+                            btz_ref[:] = jnp.where(
+                                hit, scal_ref[18] * tx0 + scal_ref[19] * ty0
+                                + scal_ref[20] * tz0, btz_ref[:])
+                            bux_ref[:] = jnp.where(
+                                hit, srow[soff + 19] * wb
+                                + srow[soff + 21] * u
+                                + srow[soff + 23] * v, bux_ref[:])
+                            buy_ref[:] = jnp.where(
+                                hit, srow[soff + 20] * wb
+                                + srow[soff + 22] * u
+                                + srow[soff + 24] * v, buy_ref[:])
+                            buvd_ref[:] = jnp.where(
+                                hit, srow[soff + 25] * scal_ref[2],
+                                buvd_ref[:])
 
                 # Row gating: see the single-level kernel — leaves rarely
                 # hold max_leaf triangles, so skip whole 8-record rows
@@ -751,35 +890,28 @@ def _traverse_kernel8_inst(snodes_ref, tris_ref, inst_ref,
                 a21 = inst_ref[iid, 9]
                 a22 = inst_ref[iid, 10]
                 b2 = inst_ref[iid, 11]
-                cox[:] = a00 * ox[:] + a01 * oy[:] + a02 * oz[:] + b0
-                coy[:] = a10 * ox[:] + a11 * oy[:] + a12 * oz[:] + b1
-                coz[:] = a20 * ox[:] + a21 * oy[:] + a22 * oz[:] + b2
-                cdx[:] = a00 * dx[:] + a01 * dy[:] + a02 * dz[:]
-                cdy[:] = a10 * dx[:] + a11 * dy[:] + a12 * dz[:]
-                cdz[:] = a20 * dx[:] + a21 * dy[:] + a22 * dz[:]
+                cox[:] = a00 * o_x + a01 * o_y + a02 * o_z + b0
+                coy[:] = a10 * o_x + a11 * o_y + a12 * o_z + b1
+                coz[:] = a20 * o_x + a21 * o_y + a22 * o_z + b2
+                cdx[:] = a00 * d_x + a01 * d_y + a02 * d_z
+                cdy[:] = a10 * d_x + a11 * d_y + a12 * d_z
+                cdz[:] = a20 * d_x + a21 * d_y + a22 * d_z
                 civx[:] = safe_inv(cdx[:])
                 civy[:] = safe_inv(cdy[:])
                 civz[:] = safe_inv(cdz[:])
                 cur_inst_ref[0] = iid
-                cur_ds_ref[0] = inst_ref[iid, 13]
+                scal_ref[0] = inst_ref[iid, 13]
+                if shade_mode:
+                    scal_ref[1] = inst_ref[iid, 14]
+                    scal_ref[2] = inst_ref[iid, 15]
+                    for k in range(9):
+                        scal_ref[3 + k] = inst_ref[iid, 16 + k]
+                if shade_mode == 2:
+                    for k in range(9):
+                        scal_ref[12 + k] = inst_ref[iid, 25 + k]
                 s = sp_ref[0]
-                stack_ref[s] = -3          # restore sentinel (tag 2)
-                stack_ref[s + 1] = inst_ref[iid, 12].astype(jnp.int32)
-                sp_ref[0] = s + 2
-
-            @pl.when(tag == 2)
-            def _restore():
-                cox[:] = ox[:]
-                coy[:] = oy[:]
-                coz[:] = oz[:]
-                cdx[:] = dx[:]
-                cdy[:] = dy[:]
-                cdz[:] = dz[:]
-                civx[:] = safe_inv(dx[:])
-                civy[:] = safe_inv(dy[:])
-                civz[:] = safe_inv(dz[:])
-                cur_inst_ref[0] = -1
-                cur_ds_ref[0] = 0.0
+                stack_ref[s] = inst_ref[iid, 12].astype(jnp.int32)
+                sp_ref[0] = s + 1
         return 0
 
     jax.lax.while_loop(cond, body, 0)
@@ -790,16 +922,39 @@ def _traverse_kernel8_inst(snodes_ref, tris_ref, inst_ref,
     out_v[:] = bv_ref[:]
     out_i[:] = bi_ref[:]
     out_inst[:] = binst_ref[:]
+    if shade_mode:
+        # Normalize + backface flip (ClosestHit.rchit:67-70); the normal
+        # matrix rotation preserves the object-space winding sign.
+        n2 = (bnx_ref[:] * bnx_ref[:] + bny_ref[:] * bny_ref[:]
+              + bnz_ref[:] * bnz_ref[:])
+        sgn = jnp.where(bdet_ref[:] < 0.0, f32(-1.0), f32(1.0))
+        inv_n = sgn * jax.lax.rsqrt(jnp.maximum(n2, 1e-20))
+        out_nx[:] = bnx_ref[:] * inv_n
+        out_ny[:] = bny_ref[:] * inv_n
+        out_nz[:] = bnz_ref[:] * inv_n
+        out_mat[:] = bmat_ref[:].astype(jnp.int32)
+    if shade_mode == 2:
+        t2 = (btx_ref[:] * btx_ref[:] + bty_ref[:] * bty_ref[:]
+              + btz_ref[:] * btz_ref[:])
+        inv_t = jax.lax.rsqrt(jnp.maximum(t2, 1e-20))
+        out_tx[:] = btx_ref[:] * inv_t
+        out_ty[:] = bty_ref[:] * inv_t
+        out_tz[:] = btz_ref[:] * inv_t
+        out_ux[:] = bux_ref[:]
+        out_uy[:] = buy_ref[:]
+        out_uvd[:] = buvd_ref[:]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("max_leaf", "depth", "cull_backface", "any_hit",
-                     "packet_sublanes"))
-def _trace_packed8_inst(snode_rows, tris_packed, inst_trace, o, d,
+                     "packet_sublanes", "shade_mode"))
+def _trace_packed8_inst(n_tlas, snode_rows, tris_packed, inst_trace, o, d,
                         t_min, t_max, max_leaf: int, depth: int,
                         cull_backface: bool, any_hit: bool = False,
-                        packet_sublanes: int = SUBLANES):
+                        packet_sublanes: int = SUBLANES,
+                        shade_rows: jnp.ndarray | None = None,
+                        shade_mode: int = 0):
     count = o.shape[0]
     block = LANES * packet_sublanes
     padded = -(-count // block) * block
@@ -822,66 +977,88 @@ def _trace_packed8_inst(snode_rows, tris_packed, inst_trace, o, d,
     ray_spec = pl.BlockSpec((packet_sublanes, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     kernel = functools.partial(
         _traverse_kernel8_inst, max_leaf=max_leaf,
-        cull_backface=cull_backface, any_hit=any_hit)
+        cull_backface=cull_backface, any_hit=any_hit,
+        shade_mode=shade_mode)
 
     tile = (packet_sublanes, LANES)
-    out_shape = [
-        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+    f32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    i32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+    out_shape = [f32tile, f32tile, f32tile, i32tile, i32tile]
+    if shade_mode:
+        out_shape += [f32tile, f32tile, f32tile, i32tile]
+    if shade_mode == 2:
+        out_shape += [f32tile] * 6
+
+    vmem = lambda dt: pltpu.VMEM(tile, dt)
+    scratch = [
+        pltpu.SMEM((8 * depth + 32,), jnp.int32),  # encoded stack
+        pltpu.SMEM((1,), jnp.int32),               # stack pointer
+        pltpu.SMEM((24,), jnp.float32),            # instance scalars
+        pltpu.SMEM((1,), jnp.int32),               # current instance
+        vmem(jnp.float32), vmem(jnp.float32), vmem(jnp.float32),  # best tuv
+        vmem(jnp.int32), vmem(jnp.int32),          # best tri / instance
+        vmem(jnp.float32), vmem(jnp.float32), vmem(jnp.float32),  # cur o
+        vmem(jnp.float32), vmem(jnp.float32), vmem(jnp.float32),  # cur d
+        vmem(jnp.float32), vmem(jnp.float32), vmem(jnp.float32),  # cur 1/d
+        vmem(jnp.float32), vmem(jnp.float32), vmem(jnp.float32),  # world 1/d
     ]
-    t, u, v, idx, inst = pl.pallas_call(
+    if shade_mode:
+        scratch += [vmem(jnp.float32)] * 5     # bn xyz, bmat, bdet
+    if shade_mode == 2:
+        scratch += [vmem(jnp.float32)] * 6     # bt xyz, buv xy, buvd
+
+    inputs = [jnp.asarray(n_tlas, jnp.int32).reshape(1),
+              snode_rows, tris_packed, inst_trace]
+    in_specs = [smem, full, full, full]
+    if shade_mode:
+        inputs.append(shade_rows)
+        in_specs.append(full)
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[full, full, full] + [ray_spec] * 8,
-        out_specs=[ray_spec] * 5,
+        in_specs=in_specs + [ray_spec] * 8,
+        out_specs=[ray_spec] * len(out_shape),
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.SMEM((8 * depth + 32,), jnp.int32),  # encoded stack
-            pltpu.SMEM((1,), jnp.int32),               # stack pointer
-            pltpu.SMEM((1,), jnp.int32),               # current instance
-            pltpu.SMEM((1,), jnp.float32),             # instance ds flag
-            pltpu.VMEM(tile, jnp.float32),             # best t
-            pltpu.VMEM(tile, jnp.float32),             # best u
-            pltpu.VMEM(tile, jnp.float32),             # best v
-            pltpu.VMEM(tile, jnp.int32),               # best tri
-            pltpu.VMEM(tile, jnp.int32),               # best instance
-            pltpu.VMEM(tile, jnp.float32),             # current o.x
-            pltpu.VMEM(tile, jnp.float32),             # current o.y
-            pltpu.VMEM(tile, jnp.float32),             # current o.z
-            pltpu.VMEM(tile, jnp.float32),             # current d.x
-            pltpu.VMEM(tile, jnp.float32),             # current d.y
-            pltpu.VMEM(tile, jnp.float32),             # current d.z
-            pltpu.VMEM(tile, jnp.float32),             # current 1/d.x
-            pltpu.VMEM(tile, jnp.float32),             # current 1/d.y
-            pltpu.VMEM(tile, jnp.float32),             # current 1/d.z
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
 
-    )(snode_rows, tris_packed, inst_trace, *comps)
+    )(*inputs, *comps)
 
-    t = t.reshape(-1)[:count]
-    u = u.reshape(-1)[:count]
-    v = v.reshape(-1)[:count]
-    idx = idx.reshape(-1)[:count]
-    inst = inst.reshape(-1)[:count]
-    hit = idx >= 0
-    return {"t": t, "tri": idx, "u": u, "v": v, "hit": hit, "inst": inst}
+    def unpad(x):
+        return x.reshape(-1)[:count]
+
+    t, u, v, idx, inst = (unpad(x) for x in outs[:5])
+    rec = {"t": t, "tri": idx, "u": u, "v": v, "hit": idx >= 0,
+           "inst": inst}
+    if shade_mode:
+        nx, ny, nz, mat = (unpad(x) for x in outs[5:9])
+        rec["n"] = jnp.stack([nx, ny, nz], axis=-1)
+        rec["mat"] = mat
+    if shade_mode == 2:
+        tx, ty, tz, ux, uy, uvd = (unpad(x) for x in outs[9:15])
+        rec["tan"] = jnp.stack([tx, ty, tz], axis=-1)
+        rec["uv"] = jnp.stack([ux, uy], axis=-1)
+        rec["uvd"] = uvd
+    return rec
 
 
 def trace_nearest_packet8_inst(tables, o, d, t_min, t_max,
                                cull_backface: bool = True,
                                any_hit: bool = False,
                                packet_sublanes: int = SUBLANES):
-    """Two-level packet traversal over accel.instances.InstancedTables."""
+    """Two-level packet traversal over accel.instances.InstancedTables.
+    Occlusion queries (any_hit) skip the fused-shading outputs."""
+    mode = 0 if any_hit else tables.shade_mode
     return _trace_packed8_inst(
-        tables.snode_rows, tables.tris_packed, tables.inst_trace, o, d,
+        tables.n_tlas, tables.snode_rows, tables.tris_packed,
+        tables.inst_trace, o, d,
         jnp.asarray(t_min, jnp.float32), jnp.asarray(t_max, jnp.float32),
         tables.max_leaf, tables.depth, cull_backface, any_hit,
-        packet_sublanes=packet_sublanes)
+        packet_sublanes=packet_sublanes,
+        shade_rows=tables.shade_rows, shade_mode=mode)

@@ -28,8 +28,9 @@ from steeljax.scene.flatten import FlatScene
 from steeljax.scene.material import MaterialFlags
 
 
-def _is_blend(scene: FlatScene, tri):
-    row = scene.tri_shade[jnp.maximum(tri, 0)]
+def _is_blend(scene: FlatScene, tables, rec):
+    from steeljax.render.pt.integrator import shade_rows
+    row = shade_rows(scene, tables, rec)
     return (row[:, 40].astype(jnp.int32)
             & int(MaterialFlags.ALPHA_BLEND)) != 0
 
@@ -41,12 +42,12 @@ def trace_blend(scene: FlatScene, tables: TraceTables, o, d, t_min, t_max,
     rec = trace_nearest(tables, scene.tri_pos, scene.tri_double_sided, o, d,
                         t_min, t_max, cull_backface=True)
     for _ in range(max_retrace):
-        rejected = rec["hit"] & ~_is_blend(scene, rec["tri"])
+        rejected = rec["hit"] & ~_is_blend(scene, tables, rec)
         rec2 = trace_nearest(tables, scene.tri_pos, scene.tri_double_sided,
                              o, d, rec["t"] + 1e-4, t_max,
                              cull_backface=True)
         rec = {k: jnp.where(rejected, rec2[k], rec[k]) for k in rec}
-    ok = rec["hit"] & _is_blend(scene, rec["tri"])
+    ok = rec["hit"] & _is_blend(scene, tables, rec)
     rec["hit"] = ok
     rec["tri"] = jnp.where(ok, rec["tri"], -1)
     return rec
@@ -57,9 +58,9 @@ def shade_forward(scene: FlatScene, tables: TraceTables, env: Environment,
                   ray_tracing_enabled: bool = True):
     """Forward PBR for a blend hit (Forward.frag:25-66).  Returns
     (linear color (N, 3), alpha (N,))."""
-    tri = jnp.maximum(rec["tri"], 0)
+    from steeljax.render.pt.integrator import shade_rows
     u, v_bar = rec["u"], rec["v"]
-    shade = scene.tri_shade[tri]                     # one row gather
+    shade = shade_rows(scene, tables, rec)           # one row read
     p = o + d * rec["t"][..., None]
     uv = _interp_cols(shade, 18, u, v_bar, width=2)
 

@@ -46,10 +46,11 @@ def _interp_cols(row, base: int, u, v, width: int = 3):
             + row[:, base + 2 * width:base + 3 * width] * v[..., None])
 
 
-def _opaque_rejected(scene: FlatScene, rec):
+def _opaque_rejected(scene: FlatScene, tables, rec):
     """hit & (alpha-blend | alpha-test-discard): surfaces invisible to the
     G-buffer (they belong to the forward stage)."""
-    row = scene.tri_shade[jnp.maximum(rec["tri"], 0)]
+    from steeljax.render.pt.integrator import shade_rows
+    row = shade_rows(scene, tables, rec)
     flags = row[:, 40].astype(jnp.int32)
     blend = (flags & int(MaterialFlags.ALPHA_BLEND)) != 0
     atest = (flags & int(MaterialFlags.ALPHA_TEST)) != 0
@@ -77,7 +78,7 @@ def trace_opaque(scene: FlatScene, tables: TraceTables, o, d, t_min, t_max,
     tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
 
     def retrace_pass(rec):
-        rejected = _opaque_rejected(scene, rec)
+        rejected = _opaque_rejected(scene, tables, rec)
 
         def do_retrace(rec):
             rec2 = trace_nearest(
@@ -90,7 +91,7 @@ def trace_opaque(scene: FlatScene, tables: TraceTables, o, d, t_min, t_max,
 
     for _ in range(max_retrace):
         rec = retrace_pass(rec)
-    final_reject = _opaque_rejected(scene, rec)
+    final_reject = _opaque_rejected(scene, tables, rec)
     rec["hit"] = rec["hit"] & ~final_reject
     rec["tri"] = jnp.where(rec["hit"], rec["tri"], -1)
     rec["t"] = jnp.where(rec["hit"], rec["t"], -1.0)
@@ -136,7 +137,8 @@ def generate_gbuffer(scene: FlatScene, tables: TraceTables, o, d,
         def slot_idx(slot):
             return tex_ids[:, slot]
     else:
-        shade = scene.tri_shade[tri]                 # (N, 56)
+        from steeljax.render.pt.integrator import shade_rows
+        shade = shade_rows(scene, tables, rec)       # (N, 56)
         uv = _interp_cols(shade, 18, u, v, width=2)
         normal = _normalize(_interp_cols(shade, 0, u, v))
         tangent = _normalize(_interp_cols(shade, 9, u, v))

@@ -101,6 +101,55 @@ def test_instanced_render_matches_flattened():
     assert np.isfinite(np.asarray(img2)).all()
 
 
+def test_instanced_hybrid_renders():
+    """The hybrid pipeline runs end-to-end over instanced tables (the
+    dispatch layer routes trace_nearest/trace_any to the two-level
+    structure) and matches the flattened hybrid frame."""
+    from steeljax.core.config import RenderConfig
+    from steeljax.render.hybrid.renderer import HybridRenderer
+    from steeljax.render.pt.renderer import prepare_scene
+    from steeljax.scene.builtin import make_parity_scene
+
+    w, h = 64, 36
+    scene = make_parity_scene(sphere_detail=4)
+    config = RenderConfig(width=w, height=h)
+    flat_img = HybridRenderer(
+        scene, w, h, config,
+        prepared=prepare_scene(scene, env_resolution=16)).render_frame()
+    inst_img = HybridRenderer(
+        scene, w, h, config,
+        prepared=prepare_scene(scene, env_resolution=16,
+                               accel=InstancedAccel(
+                                   use_pallas=False))).render_frame()
+    rmse = float(np.sqrt(np.mean((flat_img - inst_img) ** 2)))
+    assert rmse < 0.02, f"instanced hybrid diverged: RMSE {rmse:.4f}"
+
+
+def test_fused_table_layout():
+    """Fused-shading tables (TPU mode, packed on host): row counts and the
+    inst_trace layout contract of pallas_traverse._INST_COLS."""
+    scene = make_cornell_scene(sphere_detail=6)
+    accel = InstancedAccel(leaf_size=16, use_pallas=True)
+    tables = accel.prepare(scene)
+    assert tables.shade_mode == 1  # untextured scene -> normals + mat id
+    assert tables.shade_rows is not None
+    assert tables.shade_rows.shape[0] == tables.tris_packed.shape[0]
+    assert tables.shade_rows.shape[1] == 128
+    inst = np.asarray(tables.inst_trace)
+    assert inst.shape[1] == 48
+    assert int(tables.n_tlas) >= 1
+    # BLAS roots sit past the TLAS prefix.
+    assert (inst[:, 12] >= int(tables.n_tlas)).all()
+    assert (inst[:, 12] < tables.snode_rows.shape[0]).all()
+    # Material ids and normal matrices round-trip.
+    mats = inst[:, 14].astype(int)
+    assert mats.min() >= 0 and mats.max() < len(scene.materials)
+    assert np.isfinite(inst[:, 16:34]).all()
+    # The lamp instance has a nonuniform scale, so at least one normal
+    # matrix must differ from its plain linear part.
+    assert np.abs(inst[:, 16:25] - inst[:, 25:34]).max() > 1e-3
+
+
 def test_reprepare_reuses_blas_and_is_instance_cost():
     scene = make_cornell_scene(sphere_detail=6)
     accel = InstancedAccel(leaf_size=16, use_pallas=False)
