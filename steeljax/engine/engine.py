@@ -26,7 +26,8 @@ from steeljax.scene.scene import Scene
 class Engine:
     def __init__(self, scene: Scene | str | Path,
                  width: int | None = None, height: int | None = None,
-                 config: RenderConfig = RenderConfig(), environment=None):
+                 config: RenderConfig = RenderConfig(), environment=None,
+                 instancing: bool = False):
         if not isinstance(scene, Scene):
             from steeljax.scene import load_scene
             scene = load_scene(scene)
@@ -37,8 +38,13 @@ class Engine:
 
         self.bus = EventBus()
         self.systems: list[System] = []
+        # instancing=True keeps per-primitive BLAS resident and rebuilds
+        # only the instance TLAS on scene revisions — the right choice for
+        # TestSystem-style dynamic scenes (transform edits re-prepare in
+        # O(instances) with no shape change, so no frame recompile).
         self.renderer = SceneRenderer(scene, self.width, self.height, config,
-                                      environment=environment)
+                                      environment=environment,
+                                      instancing=instancing)
         self._scene_revision = scene.revision
         self.global_time = 0.0
         self.frame_index = 0

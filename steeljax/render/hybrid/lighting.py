@@ -38,9 +38,14 @@ def restore_position(depth, uv, inverse_proj_view):
 def compute_direct_lighting(scene: FlatScene, tables: TraceTables,
                             position, n, v, nov, base_color, f0,
                             roughness, metallic, max_alpha_retrace: int = 4,
-                            shadows: bool = True):
+                            shadows: bool = True, live=None):
     """ComputeDirectLighting (Lighting.glsl:186-243), vectorized over
-    pixels with a static unrolled loop over the scene's lights."""
+    pixels with a static unrolled loop over the scene's lights.
+
+    `live` masks pixels whose shading result is consumed (G-buffer hits);
+    sky pixels get an inverted shadow interval — the compute-shader
+    analog of the early depth-miss return, worth the whole sky fraction
+    of the shadow trace."""
     total = jnp.zeros_like(base_color)
     for i in range(scene.light_count):
         loc = scene.light_location[i]
@@ -78,10 +83,13 @@ def compute_direct_lighting(scene: FlatScene, tables: TraceTables,
             origin = position + n * BIAS
             # Shadow rays only where the light can contribute
             # (Lighting.glsl:226-236 traces inside `irradiance > EPSILON`):
-            # backfacing/unlit pixels get an inverted interval, which the
-            # packet kernel rejects at the root — on the hybrid bench this
-            # halves the shadow-trace cost.
-            t_far = jnp.where(irradiance > EPSILON, distance, -1.0)
+            # backfacing/unlit/sky pixels get an inverted interval, which
+            # the packet kernel rejects at the root — on the hybrid bench
+            # this halves the shadow-trace cost.
+            contributes = irradiance > EPSILON
+            if live is not None:
+                contributes = contributes & live
+            t_far = jnp.where(contributes, distance, -1.0)
             occluded = trace_visibility(
                 scene, tables, origin, l, RAY_MIN_T, t_far,
                 max_alpha_retrace).astype(jnp.float32)
@@ -172,7 +180,8 @@ def deferred_lighting(scene: FlatScene, tables: TraceTables,
     if scene.light_count > 0:
         direct = compute_direct_lighting(
             scene, tables, position, n, v, nov, base_color, f0,
-            roughness, metallic, shadows=ray_tracing_enabled)
+            roughness, metallic, shadows=ray_tracing_enabled,
+            live=gbuffer["hit"])
     else:
         direct = jnp.zeros_like(base_color)
 

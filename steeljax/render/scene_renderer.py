@@ -30,7 +30,8 @@ class SceneRenderer:
     def __init__(self, scene: Scene, width: int, height: int,
                  config: RenderConfig = RenderConfig(),
                  environment: Environment | None = None,
-                 mode: RenderMode | None = None):
+                 mode: RenderMode | None = None,
+                 instancing: bool = False):
         self.scene = scene
         self.width = width
         self.height = height
@@ -39,7 +40,18 @@ class SceneRenderer:
                              if config.path_tracing_enabled
                              else RenderMode.HYBRID)
 
-        prepared = prepare_scene(scene)
+        # Two-level acceleration (the reference's actual architecture:
+        # BLAS per primitive built once, instance TLAS rebuilt per edit —
+        # AccelerationStructureManager.cpp:128-220).  Opt-in: the flat
+        # path traces ~10-60% faster on static scenes, the instanced one
+        # re-prepares dynamic scenes in O(instances) (sub-second vs a
+        # full reflatten + SAH rebuild) and keeps array shapes stable
+        # under transform edits (no frame recompile).
+        self._accel = None
+        if instancing:
+            from steeljax.accel.instances import InstancedAccel
+            self._accel = InstancedAccel()
+        prepared = prepare_scene(scene, accel=self._accel)
         env = environment or load_environment(
             panorama_path=scene.environment_path)
         self.path_tracer = PathTracingRenderer(
@@ -61,8 +73,18 @@ class SceneRenderer:
     def refresh_scene(self) -> None:
         """Rebuild device arrays after scene mutation (the on-demand analog
         of the reference's every-frame TLAS rebuild + dirty-storage
-        descriptor refresh, SceneRenderer.cpp:318-358)."""
-        prepared = prepare_scene(self.scene)
+        descriptor refresh, SceneRenderer.cpp:318-358).  With instancing,
+        only the O(instances) instance tables and light rows rebuild."""
+        if self._accel is not None:
+            from steeljax.scene.flatten import (refresh_lights,
+                                                refresh_materials)
+            tables = self._accel.prepare(self.scene)
+            flat = refresh_materials(
+                refresh_lights(self.path_tracer.flat, self.scene),
+                self.scene)
+            prepared = (flat, tables)
+        else:
+            prepared = prepare_scene(self.scene)
         self.path_tracer.refresh_scene(prepared)
         self.hybrid.refresh_scene(prepared)
 

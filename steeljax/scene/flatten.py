@@ -208,6 +208,47 @@ def refresh_lights(flat: FlatScene, scene: Scene) -> FlatScene:
                         light_count=int(light_count))
 
 
+def _material_arrays(scene: Scene):
+    """(base_color, emission, params, tex, flags) numpy tables from the
+    scene's material list (gpu::Material re-pack, Common.h:30-45)."""
+    mats = scene.materials or []
+    m = max(len(mats), 1)
+    mat_base_color = np.ones((m, 4), np.float32)
+    mat_emission = np.zeros((m, 3), np.float32)
+    mat_params = np.tile(np.array([1, 1, 1, 1, 0.5], np.float32), (m, 1))
+    mat_tex = np.full((m, 5), -1, np.int32)
+    mat_flags = np.zeros((m,), np.int32)
+    for i, mat in enumerate(mats):
+        mat_base_color[i] = mat.base_color_factor
+        mat_emission[i] = mat.emission_factor[:3]
+        mat_params[i] = [mat.roughness_factor, mat.metallic_factor,
+                         mat.normal_scale, mat.occlusion_strength,
+                         mat.alpha_cutoff]
+        mat_tex[i] = [mat.base_color_texture,
+                      mat.roughness_metallic_texture, mat.normal_texture,
+                      mat.occlusion_texture, mat.emission_texture]
+        mat_flags[i] = int(mat.flags)
+    return mat_base_color, mat_emission, mat_params, mat_tex, mat_flags
+
+
+def refresh_materials(flat: FlatScene, scene: Scene) -> FlatScene:
+    """Re-pack just the material tables (the materials-dirty re-upload,
+    SceneRenderer.cpp:119-144) — O(materials), used by the instanced
+    refresh path (per-instance material rows rebuild inside
+    InstancedAccel.prepare; these are the select-chain tables)."""
+    mat_base_color, mat_emission, mat_params, mat_tex, mat_flags = \
+        _material_arrays(scene)
+    return flat.replace(
+        mat_base_color=jnp.asarray(mat_base_color),
+        mat_emission=jnp.asarray(mat_emission),
+        mat_params=jnp.asarray(mat_params),
+        mat_tex=jnp.asarray(mat_tex),
+        mat_flags=jnp.asarray(mat_flags),
+        mat_packed=jnp.asarray(pack_materials(
+            mat_base_color, mat_emission, mat_params, mat_flags)),
+        mat_emission_linear=jnp.asarray(_to_linear_np(mat_emission)))
+
+
 def flatten_scene(scene: Scene, env_cube: np.ndarray | None = None) -> FlatScene:
     tri_pos, tri_nrm, tri_tan, tri_uv, tri_mat, tri_ds = [], [], [], [], [], []
 
@@ -250,24 +291,8 @@ def flatten_scene(scene: Scene, env_cube: np.ndarray | None = None) -> FlatScene
         tri_ds = np.zeros((0,), bool)
 
     # Materials.
-    mats = scene.materials or []
-    m = max(len(mats), 1)
-    mat_base_color = np.ones((m, 4), np.float32)
-    mat_emission = np.zeros((m, 3), np.float32)
-    mat_params = np.tile(
-        np.array([1, 1, 1, 1, 0.5], np.float32), (m, 1))
-    mat_tex = np.full((m, 5), -1, np.int32)
-    mat_flags = np.zeros((m,), np.int32)
-    for i, mat in enumerate(mats):
-        mat_base_color[i] = mat.base_color_factor
-        mat_emission[i] = mat.emission_factor[:3]
-        mat_params[i] = [mat.roughness_factor, mat.metallic_factor,
-                         mat.normal_scale, mat.occlusion_strength,
-                         mat.alpha_cutoff]
-        mat_tex[i] = [mat.base_color_texture, mat.roughness_metallic_texture,
-                      mat.normal_texture, mat.occlusion_texture,
-                      mat.emission_texture]
-        mat_flags[i] = int(mat.flags)
+    mat_base_color, mat_emission, mat_params, mat_tex, mat_flags = \
+        _material_arrays(scene)
 
     # Texture pool with per-texture mip chains.  Texels are QUAD-packed:
     # row (y*w + x) holds the repeat-wrapped 2x2 bilinear footprint

@@ -151,6 +151,31 @@ def test_engine_tick_renders_and_refreshes(tiny_env):
     assert np.isfinite(frame).all()
 
 
+def test_engine_instanced_refresh(tiny_env):
+    """Engine(instancing=True): scene revisions re-prepare through the
+    cached-BLAS path (zero BLAS rebuilds for transform edits) and both
+    renderers keep producing finite frames."""
+    scene = make_cornell_scene(sphere_detail=4)
+    engine = Engine(scene, 16, 9, RenderConfig(width=16, height=9),
+                    environment=tiny_env, instancing=True)
+    frame = engine.tick(1 / 30)
+    assert frame.shape == (9, 16, 3) and np.isfinite(frame).all()
+    accel = engine.renderer._accel
+    builds = accel.blas_builds
+    from steeljax.scene.builtin import _trs
+    scene.entities[scene.renderable_entities()[-1]].local_transform = \
+        _trs((1.0, -3.5, 2.0))
+    scene.materials[0].roughness_factor = 0.5  # material edit refreshes too
+    scene.revision += 1
+    frame = engine.tick(1 / 30)
+    assert accel.blas_builds == builds, "transform edit rebuilt a BLAS"
+    assert np.isfinite(frame).all()
+    assert float(engine.renderer.path_tracer.flat.mat_params[0, 0]) == 0.5
+    engine.inject_key("t")  # hybrid over the same instanced tables
+    frame = engine.tick(1 / 30)
+    assert np.isfinite(frame).all()
+
+
 def test_engine_mode_toggle_key(tiny_env):
     scene = make_cornell_scene(sphere_detail=4)
     engine = Engine(scene, 16, 9, RenderConfig(width=16, height=9),
