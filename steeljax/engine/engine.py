@@ -48,10 +48,14 @@ class Engine:
         self._scene_revision = scene.revision
         self.global_time = 0.0
         self.frame_index = 0
+        self.draw_suspended = False   # minimized-window analog
+        self._last_frame = np.zeros((self.height, self.width, 3),
+                                    np.float32)
 
         self.bus.add_handler(EventType.CAMERA_UPDATE,
                              lambda _: self.renderer.update_camera())
         self.bus.add_handler(EventType.KEY_INPUT, self._on_key)
+        self.bus.add_handler(EventType.RESIZE, self._on_resize)
 
         # UIRenderer analog (UIRenderer.cpp:106-125): an overlay text-
         # binding list evaluated per frame.  Headless, the "overlay" is
@@ -85,8 +89,29 @@ class Engine:
             import jax
             jax.clear_caches()
 
+    def _on_resize(self, extent) -> None:
+        """eResize (Engine.cpp:135-149): zero-area extents suspend drawing
+        (window minimized); otherwise both renderers adopt the new extent
+        and the camera aspect follows (CameraSystem resize analog)."""
+        width, height = extent
+        self.draw_suspended = width == 0 or height == 0
+        if self.draw_suspended:
+            return
+        self.width = width
+        self.height = height
+        self.renderer.resize(width, height)
+        proj = self.scene.camera_projection
+        if proj is not None and proj.height:
+            import dataclasses
+            self.scene.camera_projection = dataclasses.replace(
+                proj, width=proj.height * (width / height))
+            self.renderer.update_camera()
+
     def inject_key(self, key: str, action: str = "press") -> None:
         self.bus.trigger(EventType.KEY_INPUT, KeyInput(key, action))
+
+    def inject_resize(self, width: int, height: int) -> None:
+        self.bus.trigger(EventType.RESIZE, (width, height))
 
     def inject_mouse_move(self, x: float, y: float) -> None:
         self.bus.trigger(EventType.MOUSE_MOVE, (x, y))
@@ -106,10 +131,14 @@ class Engine:
         if self.scene.revision != self._scene_revision:
             self.renderer.refresh_scene()
             self._scene_revision = self.scene.revision
+        if self.draw_suspended:
+            # Minimized: systems tick, drawing suspends (Engine.cpp:88-91).
+            return self._last_frame
         start = time.perf_counter()
         frame = self.renderer.render_frame()
         self.last_frame_seconds = time.perf_counter() - start
         self.frame_index += 1
+        self._last_frame = frame
         return frame
 
     def run(self, duration_seconds: float, fps: float = 30.0,

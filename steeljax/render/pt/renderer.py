@@ -182,6 +182,15 @@ class PathTracingRenderer:
         (PathTracingRenderer.cpp:346-349)."""
         self.state = init_accumulation(self.width, self.height)
 
+    def resize(self, width: int, height: int) -> None:
+        """Swapchain-recreate analog (PathTracingRenderer::Resize,
+        PathTracingRenderer.cpp:293-311): new render/accumulation extent,
+        accumulation restarts.  The next frame recompiles for the new
+        shape — the pipeline-recreate cost the reference pays too."""
+        self.width = width
+        self.height = height
+        self.reset_accumulation()
+
     def set_camera(self, location=None, projection=None) -> None:
         if location is not None:
             self.scene.camera_location = location

@@ -88,6 +88,16 @@ class SceneRenderer:
         self.path_tracer.refresh_scene(prepared)
         self.hybrid.refresh_scene(prepared)
 
+    def resize(self, width: int, height: int) -> None:
+        """Swapchain recreation (Engine.cpp:135-149 + SceneRenderer::
+        Resize fan-out, SceneRenderer.cpp:360-373): both renderers adopt
+        the new extent; path tracing restarts accumulation."""
+        self.width = width
+        self.height = height
+        self.path_tracer.resize(width, height)
+        self.hybrid.width = width
+        self.hybrid.height = height
+
     def update_camera(self) -> None:
         """eCameraUpdate handler: refresh matrices, reset accumulation."""
         self.path_tracer._set_camera_arrays()

@@ -198,6 +198,34 @@ def test_camera_update_resets_accumulation(tiny_env):
     assert int(engine.renderer.path_tracer.state.index) == 1
 
 
+def test_engine_resize_and_minimize(tiny_env):
+    """eResize semantics (Engine.cpp:135-149): new extent propagates to
+    both renderers + accumulation restarts; a zero extent suspends
+    drawing until a real resize arrives."""
+    scene = make_cornell_scene(sphere_detail=4)
+    engine = Engine(scene, 16, 9, RenderConfig(width=16, height=9),
+                    environment=tiny_env)
+    engine.tick(1 / 30)
+    engine.tick(1 / 30)
+    assert int(engine.renderer.path_tracer.state.index) == 2
+
+    engine.inject_resize(0, 0)          # minimize
+    assert engine.draw_suspended
+    idx_before = engine.frame_index
+    frame = engine.tick(1 / 30)         # systems tick, no draw
+    assert engine.frame_index == idx_before
+    assert frame.shape == (9, 16, 3)    # last presented frame
+
+    engine.inject_resize(24, 12)
+    assert not engine.draw_suspended
+    frame = engine.tick(1 / 30)
+    assert frame.shape == (12, 24, 3)
+    assert int(engine.renderer.path_tracer.state.index) == 1  # reset
+    # Camera aspect followed the new extent.
+    proj = scene.camera_projection
+    assert abs(proj.width / proj.height - 2.0) < 1e-5
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax.numpy as jnp
     from steeljax.io import checkpoint
