@@ -26,6 +26,7 @@ from flax import struct
 from steeljax.accel import traverse
 from steeljax.accel import pallas_traverse as ptv
 from steeljax.accel.bvh import BVH, BVH8, _morton3, build_bvh, collapse_bvh8
+from steeljax.core.constants import RAY_DEAD_T
 
 # VMEM budget per chunk: tris_packed is 64 B/tri; leave room for rays,
 # outputs, and the supernode table.
@@ -224,7 +225,7 @@ def _chunk_interval(chunk: ChunkTables, o, d, t_min, t_max):
     near = jnp.max(jnp.minimum(t0, t1), axis=-1)
     far = jnp.min(jnp.maximum(t0, t1), axis=-1)
     possible = (near <= far) & (far >= t_min) & (near <= t_max)
-    return jnp.where(possible, t_max, -1.0), jnp.any(possible)
+    return jnp.where(possible, t_max, RAY_DEAD_T), jnp.any(possible)
 
 
 def _skippable(fn, any_possible, template):
@@ -318,7 +319,7 @@ def trace_any(tables, tri_pos, tri_double_sided, o, d,
     for chunk in tables.chunks:
         if multi:
             # Already-occluded rays need no further chunks either.
-            live_tmax = jnp.where(occluded, -1.0, tmax) \
+            live_tmax = jnp.where(occluded, RAY_DEAD_T, tmax) \
                 if occluded is not None else tmax
             chunk_tmax, any_possible = _chunk_interval(chunk, o, d, tmin,
                                                        live_tmax)

@@ -443,7 +443,9 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
     o = prep(o)
     d = prep(d, 1.0)
     tmn = prep(jnp.broadcast_to(t_min, (count,)))
-    tmx = prep(jnp.broadcast_to(t_max, (count,)), -1.0)
+    # Pad lanes must trace nothing: -3e38 guarantees root rejection
+    # (-1.0 still descends nodes spanning >1 unit behind the origin).
+    tmx = prep(jnp.broadcast_to(t_max, (count,)), -3.0e38)
 
     rows = padded // LANES
     comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tmn, tmx]
@@ -973,7 +975,9 @@ def _trace_packed8_inst(n_tlas, snode_rows, tris_packed, inst_trace, o, d,
     o = prep(o)
     d = prep(d, 1.0)
     tmn = prep(jnp.broadcast_to(t_min, (count,)))
-    tmx = prep(jnp.broadcast_to(t_max, (count,)), -1.0)
+    # Pad lanes must trace nothing: -3e38 guarantees root rejection
+    # (-1.0 still descends nodes spanning >1 unit behind the origin).
+    tmx = prep(jnp.broadcast_to(t_max, (count,)), -3.0e38)
 
     rows = padded // LANES
     comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tmn, tmx]

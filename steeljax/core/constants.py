@@ -15,6 +15,13 @@ INVERSE_PI = 0.31830988618
 
 RAY_MIN_T = 0.001
 RAY_MAX_T = 1000.0
+# t_max for lanes that must trace nothing (dead/masked rays).  Must be
+# below ANY reachable slab entry distance: with -1.0 a ray whose origin
+# sits inside a node extending >1 unit behind it has near <= -1 and
+# still descends (measured: fully-dead packets paid ~870 node pops on
+# the 1.6M-tri stress scene instead of 1).  -3e38 guarantees the root
+# test rejects in one pop.
+RAY_DEAD_T = -3.0e38
 
 # Path-tracing budget (RayGen.rgen:18-26)
 MIN_BOUNCE_COUNT = 2

@@ -36,6 +36,11 @@ class Environment:
     cube_quads: jnp.ndarray                 # (6*R*R, 16)
     irradiance_quads: jnp.ndarray           # (6*r*r, 16)
     specular_lut_quads: jnp.ndarray         # (L*L, 8)
+    # Cube was baked from the closed-form procedural sky: raw-environment
+    # lookups (forward background) evaluate sky.sky_radiance per ray
+    # instead of gathering cube_quads.  The IBL convolutions above still
+    # come from the baked cube.
+    analytic: bool = struct.field(pytree_node=False, default=False)
 
 
 def load_environment(panorama_path: str | None = None,
@@ -51,12 +56,14 @@ def load_environment(panorama_path: str | None = None,
 
     Sources in priority order: explicit `cube`, a Radiance panorama at
     `panorama_path`, else the procedural sky."""
+    analytic = False
     if cube is None:
         if panorama_path and Path(panorama_path).exists():
             panorama = image_io.load_hdr(panorama_path)
             cube = np.asarray(panorama_to_cube(panorama, cube_resolution))
         else:
             cube = procedural_sky_cube(cube_resolution)
+            analytic = True
     cube = jnp.asarray(cube, jnp.float32)
     from steeljax.env.cubemap import pack_cube_quads, pack_mips
     reflection_mips = ibl.generate_reflection_mips(
@@ -77,4 +84,5 @@ def load_environment(panorama_path: str | None = None,
         irradiance_quads=jnp.asarray(
             pack_cube_quads(np.asarray(irradiance))),
         specular_lut_quads=ibl.pack_lut_quads(lut),
+        analytic=analytic,
     )

@@ -131,7 +131,13 @@ def forward_stage(scene: FlatScene, tables: TraceTables, env: Environment,
     """Compose the final display image: tone-mapped opaque lighting, env
     background, then the blend layer.  Returns (N, 3) display color."""
     hit = gbuffer["hit"]
-    env_color = tone_map(sample_cube_quads(env.cube_quads, d))
+    if env.analytic:
+        # Procedural sky: the closed form beats the cubemap gather
+        # (~10 ms per M indices on TPU) and has no face discretization.
+        from steeljax.env.sky import sky_radiance
+        env_color = tone_map(sky_radiance(d))
+    else:
+        env_color = tone_map(sample_cube_quads(env.cube_quads, d))
     display = jnp.where(hit[..., None], tone_map(lit_linear), env_color)
 
     if not scene.any_alpha_blend:

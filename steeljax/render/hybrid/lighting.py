@@ -17,8 +17,8 @@ import jax.numpy as jnp
 
 from steeljax.accel.dispatch import TraceTables
 from steeljax.core.colors import to_linear
-from steeljax.core.constants import (BIAS, DIELECTRIC_F0, EPSILON, RAY_MAX_T,
-                                     RAY_MIN_T)
+from steeljax.core.constants import (BIAS, DIELECTRIC_F0, EPSILON,
+                                     RAY_DEAD_T, RAY_MAX_T, RAY_MIN_T)
 from steeljax.env.cubemap import sample_cube_quads, sample_flat_mips
 from steeljax.env.environment import Environment
 from steeljax.render.pt import brdf as brdf_lib
@@ -89,7 +89,7 @@ def compute_direct_lighting(scene: FlatScene, tables: TraceTables,
             contributes = irradiance > EPSILON
             if live is not None:
                 contributes = contributes & live
-            t_far = jnp.where(contributes, distance, -1.0)
+            t_far = jnp.where(contributes, distance, RAY_DEAD_T)
             occluded = trace_visibility(
                 scene, tables, origin, l, RAY_MIN_T, t_far,
                 max_alpha_retrace).astype(jnp.float32)

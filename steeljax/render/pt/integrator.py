@@ -34,7 +34,7 @@ from steeljax.core.colors import luminance, to_linear
 from steeljax.core.config import RenderConfig
 from steeljax.core.constants import (
     BIAS, DIRECT_LIGHT_DISK_RADIUS, EPSILON, PI,
-    POINT_LIGHT_RADIUS, RAY_MAX_T, RAY_MIN_T)
+    POINT_LIGHT_RADIUS, RAY_DEAD_T, RAY_MAX_T, RAY_MIN_T)
 from steeljax.env.cubemap import sample_cube_quads
 from steeljax.render.pt import brdf as brdf_lib
 from steeljax.render.texture import sample_bilinear
@@ -288,7 +288,7 @@ def trace_material_ray(scene: FlatScene, tables: TraceTables, o, d,
 
         def do_retrace(rec):
             new_tmin = rec["t"] + 1e-4
-            rec2 = trace(o, d, new_tmin, jnp.where(rejected, tmax, -1.0))
+            rec2 = trace(o, d, new_tmin, jnp.where(rejected, tmax, RAY_DEAD_T))
             return {k: jnp.where(rejected, rec2[k], rec[k]) for k in rec}
 
         return jax.lax.cond(jnp.any(rejected), do_retrace, lambda r: r, rec)
@@ -571,7 +571,7 @@ def direct_lighting(scene: FlatScene, tables: TraceTables, surface, tbn,
     # the contribution anyway): gated lanes get an inverted interval and
     # root-pop in the kernel, and the any-hit early exit counts them as
     # blocked.
-    t_far = jnp.where(has_light, distance, -1.0)
+    t_far = jnp.where(has_light, distance, RAY_DEAD_T)
     occluded = trace_visibility(scene, tables, origin, direction,
                                 RAY_MIN_T, t_far, max_alpha_retrace)
 
@@ -635,7 +635,7 @@ def trace_paths(scene: FlatScene, tables: TraceTables, o, d, seed,
                           slot])
                 alive = (key >> 19) == 0
                 miss = ((key >> 18) & 1) == 1
-                t_max = jnp.where(alive, RAY_MAX_T, -1.0)
+                t_max = jnp.where(alive, RAY_MAX_T, RAY_DEAD_T)
                 repacked = True
             rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
             rec = trace_material_ray(
@@ -714,15 +714,23 @@ def trace_paths(scene: FlatScene, tables: TraceTables, o, d, seed,
             # rejects them at the root slab test, so finished rays cost
             # packets nothing (the masked-lane analog of wavefront
             # compaction).
-            t_max = jnp.where(alive, RAY_MAX_T, -1.0)
+            t_max = jnp.where(alive, RAY_MAX_T, RAY_DEAD_T)
 
     # Deferred env: throughput/ray_pdf/d froze at the miss bounce, so this
     # reproduces the per-bounce miss shading exactly (RayGen.rgen:353-357).
     env_weight = jnp.where(
         miss[..., None], throughput / jnp.maximum(ray_pdf, 1e-30)[..., None],
         0.0)
-    irradiance = irradiance + sample_cube_quads(scene.env_quads, d) \
-        * env_weight
+    if scene.env_analytic:
+        # Procedural-sky scenes evaluate the closed form directly: the
+        # TPU gather costs ~10 ms per M indices regardless of table size,
+        # the ~20 elementwise ops fuse into the frame for free (and skip
+        # the cubemap's resolution/bilinear discretization).
+        from steeljax.env.sky import sky_radiance
+        env_radiance = sky_radiance(d)
+    else:
+        env_radiance = sample_cube_quads(scene.env_quads, d)
+    irradiance = irradiance + env_radiance * env_weight
     clamped = jnp.minimum(irradiance, config.max_irradiance)
     if repacked:
         # Restore frame order: `slot` is a permutation, so one sort by it

@@ -65,6 +65,7 @@ def prepare_scene(scene: Scene, env_resolution: int = 256,
     instance TLAS, so later `accel.prepare(scene)` calls re-prepare in
     O(instances) (AccelerationStructureManager.cpp:128-220 semantics)."""
     env_cube = None
+    env_analytic = False
     if getattr(scene, "environment_color", None) is not None:
         env_cube = np.broadcast_to(
             np.asarray(scene.environment_color, np.float32),
@@ -75,7 +76,8 @@ def prepare_scene(scene: Scene, env_resolution: int = 256,
     elif use_default_environment:
         from steeljax.env.sky import procedural_sky_cube
         env_cube = procedural_sky_cube(env_resolution)
-    flat = flatten_scene(scene, env_cube)
+        env_analytic = True
+    flat = flatten_scene(scene, env_cube, env_analytic=env_analytic)
 
     if accel is not None:
         return flat, accel.prepare(scene)

@@ -56,3 +56,19 @@ def test_panorama_poles():
     up_face = cube[2]
     down_face = cube[3]
     assert up_face.mean() > down_face.mean()
+
+
+def test_analytic_sky_matches_baked_cube():
+    """The closed-form sky (env/sky.sky_radiance) IS the function the
+    procedural cube bakes: at texel-center directions the baked cube and
+    the analytic evaluation must agree exactly (modulo fp32 noise).  The
+    render paths rely on this equivalence when env_analytic switches the
+    miss/background lookup from a cubemap gather to the closed form."""
+    from steeljax.env.sky import procedural_sky_cube, sky_radiance
+
+    res = 16
+    cube = procedural_sky_cube(res)
+    dirs = face_directions(res).reshape(-1, 3)
+    got = np.asarray(sky_radiance(jnp.asarray(dirs)))
+    np.testing.assert_allclose(got, cube.reshape(-1, 3), rtol=1e-5,
+                               atol=1e-5)
