@@ -147,7 +147,8 @@ def bench_hybrid_1080p() -> None:
                            irradiance_resolution=16,
                            reflection_resolution=32, lut_resolution=64,
                            lut_samples=256, reflection_samples=128,
-                           irradiance_delta=0.1)
+                           irradiance_delta=0.1,
+                           analytic=prepared[0].env_analytic)
     config = RenderConfig(width=width, height=height)
     renderer = HybridRenderer(scene, width, height, config,
                               environment=env, prepared=prepared)

@@ -51,12 +51,14 @@ def load_environment(panorama_path: str | None = None,
                      lut_resolution: int = 256,
                      lut_samples: int = 4096,
                      reflection_samples: int = 2048,
-                     irradiance_delta: float = 0.025) -> Environment:
+                     irradiance_delta: float = 0.025,
+                     analytic: bool = False) -> Environment:
     """Build the full environment bundle (EnvironmentComponent analog).
 
     Sources in priority order: explicit `cube`, a Radiance panorama at
-    `panorama_path`, else the procedural sky."""
-    analytic = False
+    `panorama_path`, else the procedural sky.  Callers passing a cube
+    they know was baked from the procedural sky set `analytic=True` to
+    keep the closed-form background path."""
     if cube is None:
         if panorama_path and Path(panorama_path).exists():
             panorama = image_io.load_hdr(panorama_path)
