@@ -223,12 +223,14 @@ class BVH8:
     max_leaf: int = struct.field(pytree_node=False)
 
 
-def collapse_bvh8(nodes: np.ndarray, max_leaf: int) -> tuple[np.ndarray, int]:
-    """Collapse a binary explicit-node tree into BVH8 rows.
+def collapse_bvh8(nodes: np.ndarray, max_leaf: int,
+                  root: int = 0) -> tuple[np.ndarray, int]:
+    """Collapse a binary explicit-node (sub)tree into BVH8 rows.
 
     Strategy: starting from a binary node, repeatedly expand the internal
     slot with the largest surface area until there are 8 slots or only
-    leaves remain.  Returns (rows (S, 128) f32, depth8)."""
+    leaves remain.  `root` selects a subtree (treelet builds collapse
+    each cut node separately).  Returns (rows (S, 128) f32, depth8)."""
     nodes = np.asarray(nodes)
 
     def area(i):
@@ -282,7 +284,44 @@ def collapse_bvh8(nodes: np.ndarray, max_leaf: int) -> tuple[np.ndarray, int]:
     old_limit = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old_limit, 100000))
     try:
-        _, depth = build(0)
+        _, depth = build(int(root))
     finally:
         sys.setrecursionlimit(old_limit)
     return np.stack(rows), depth
+
+
+def subtree_tri_ranges(nodes: np.ndarray) -> tuple[np.ndarray, np.ndarray,
+                                                   np.ndarray]:
+    """Per-node (count, lo, hi) over the aligned triangle layout.
+
+    The SAH builder partitions triangles in place, so every subtree owns
+    a CONTIGUOUS range of the permuted arrays (bvh_builder.cpp:14-15);
+    after _align_leaves each leaf range is 8-aligned.  `hi` is the
+    exclusive row-aligned end (start + ceil(count/8)*8 of the last leaf).
+    Iterative post-order (trees reach ~10^5 nodes)."""
+    nodes = np.asarray(nodes)
+    n = len(nodes)
+    count = np.zeros(n, np.int64)
+    lo = np.full(n, np.iinfo(np.int64).max)
+    hi = np.zeros(n, np.int64)
+    is_leaf = nodes[:, 7] > 0
+    stack = [(0, False)]
+    while stack:
+        i, expanded = stack.pop()
+        if is_leaf[i]:
+            start = int(nodes[i, 6])
+            cnt = int(nodes[i, 7])
+            count[i] = cnt
+            lo[i] = start
+            hi[i] = start + -(-cnt // 8) * 8
+        elif not expanded:
+            left = int(nodes[i, 6])
+            stack.append((i, True))
+            stack.append((left, False))
+            stack.append((left + 1, False))
+        else:
+            left = int(nodes[i, 6])
+            count[i] = count[left] + count[left + 1]
+            lo[i] = min(lo[left], lo[left + 1])
+            hi[i] = max(hi[left], hi[left + 1])
+    return count, lo, hi

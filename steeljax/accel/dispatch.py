@@ -31,6 +31,13 @@ from steeljax.core.constants import RAY_DEAD_T
 # VMEM budget per chunk: tris_packed is 64 B/tri; leave room for rays,
 # outputs, and the supernode table.
 MAX_CHUNK_TRIS = 1_200_000
+# Streamed treelets (accel.treelets) are OPT-IN (prepare_tables
+# treelets=True): measured 16% slower than the chunk sweep at 1.3-1.6M
+# tris (0.51 vs 0.60 Mray/s end-to-end; insensitive to treelet size
+# 64k/131k/256k and packet size) because the per-packet treelet union
+# does not shrink — same floor as the resident kernel.  Kept because it
+# is the only path whose VMEM footprint is O(treelet), not O(chunk):
+# use it for scenes so large the chunk sweep degenerates (>>MAX_CHUNK_TRIS).
 # Chunks above this row count are traced with halved packets (deep trees
 # are leaf-VPU-bound on incoherent packets) and skip the fused shade
 # tables (tris+shade past this spills scoped VMEM and collapses the
@@ -57,6 +64,11 @@ class ChunkTables:
 @struct.dataclass
 class TraceTables:
     chunks: tuple  # tuple[ChunkTables, ...]
+    # Streamed-treelet tables (accel.treelets), set when prepare_tables
+    # was called with treelets=True; the single chunk is kept (bvh + aabb
+    # metadata, no packed tables) for the CPU backend, validation, and
+    # the integrator's bounds/size queries.
+    treelets: object | None = None
     use_pallas: bool = struct.field(pytree_node=False, default=False)
     # 0 = trace only; 1 = fuse (normal, mat id) into the kernel;
     # 2 = also (tangent, uv).  See pallas_traverse.pack_shade_records.
@@ -84,13 +96,17 @@ def backend_is_tpu() -> bool:
 
 def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
                    max_chunk: int | None = None,
-                   use_pallas: bool | None = None, method: str = "auto"
+                   use_pallas: bool | None = None, method: str = "auto",
+                   treelets: bool = False
                    ) -> tuple["TraceTables", np.ndarray, int]:
     """Build (possibly chunked) acceleration tables.
 
     Returns (tables, global_order, total_padded): reorder every
     per-triangle array by global_order (entries of -1 are pad slots) and
     pad to total_padded — bvh.apply_permutation does both.
+
+    `treelets=True` builds the streamed-treelet tables instead of the
+    chunk sweep (see the note above TraceTables.treelets).
     """
     if use_pallas is None:
         use_pallas = backend_is_tpu()
@@ -99,6 +115,9 @@ def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
     tri_pos = np.asarray(tri_pos, np.float32)
     ds = np.asarray(tri_double_sided)
     count = len(tri_pos)
+
+    if treelets and use_pallas:
+        return _prepare_treelet_tables(tri_pos, ds, leaf_size, method)
 
     if count <= max_chunk:
         pieces = [np.arange(count, dtype=np.int64)]
@@ -154,6 +173,33 @@ def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
     return tables, global_order, offset
 
 
+def _prepare_treelet_tables(tri_pos, ds, leaf_size: int, method: str
+                            ) -> tuple["TraceTables", np.ndarray, int]:
+    """One global SAH BVH cut into streamed treelets (accel.treelets).
+
+    The kept chunk carries metadata only (binary bvh for validation /
+    stats, row count, scene AABB) — no packed tables upload; the kernel
+    reads the per-treelet stacks."""
+    from steeljax.accel.treelets import build_treelet_tables
+    bvh, order, padded = build_bvh(tri_pos, leaf_size, method)
+    permuted_pos = np.full((padded, 3, 3), 3.0e37, np.float32)
+    permuted_ds = np.zeros(padded, bool)
+    real = order >= 0
+    permuted_pos[np.nonzero(real)[0]] = tri_pos[order[real]]
+    permuted_ds[np.nonzero(real)[0]] = ds[order[real]]
+    packed = ptv.pack_tris(permuted_pos, permuted_ds)  # host numpy
+    treelets = build_treelet_tables(np.asarray(bvh.nodes), packed,
+                                    leaf_size)
+    real_pos = tri_pos.reshape(-1, 3)
+    aabb = (tuple(float(v) for v in real_pos.min(axis=0)),
+            tuple(float(v) for v in real_pos.max(axis=0)))
+    chunk = ChunkTables(bvh=bvh, bvh8=None, tris_packed=None,
+                        row_offset=0, rows=padded, aabb=aabb)
+    tables = TraceTables(chunks=(chunk,), treelets=treelets,
+                         use_pallas=True)
+    return tables, order, padded
+
+
 def make_trace_tables(bvh: BVH, tri_pos, tri_double_sided,
                       use_pallas: bool | None = None) -> TraceTables:
     """Single-chunk tables from an existing BVH + permuted arrays (used by
@@ -181,6 +227,18 @@ def attach_shade_tables(tables: TraceTables, tri_nrm, tri_tan, tri_uv,
     trace+shade kernel path (shade_mode 1/2)."""
     if not tables.use_pallas:
         return tables
+    mode = 2 if textured else 1
+    if tables.treelets is not None:
+        # Streamed treelets DMA per-treelet blocks, so fused shading fits
+        # at ANY scene size (the resident kernel had to drop it past
+        # BIG_CHUNK_ROWS and pay the post-trace row gather).
+        from steeljax.accel.treelets import attach_shade_stack
+        packed = ptv.pack_shade_records(
+            np.asarray(tri_nrm), np.asarray(tri_tan), np.asarray(tri_uv),
+            np.asarray(tri_mat), textured,
+            tri_uvd=None if tri_uvd is None else np.asarray(tri_uvd))
+        treelets = attach_shade_stack(tables.treelets, packed, mode)
+        return tables.replace(treelets=treelets, shade_mode=mode)
     # The shade table shares chunk VMEM with tris_packed (+64 B/tri in
     # mode 1, +128 B/tri in mode 2); past BIG_CHUNK_ROWS the combined
     # footprint spills VMEM and the kernel collapses.  Huge chunks keep
@@ -244,6 +302,10 @@ def trace_nearest(tables, tri_pos, tri_double_sided, o, d,
     if isinstance(tables, InstancedTables):
         return trace_nearest_instanced(tables, o, d, t_min, t_max,
                                        cull_backface=cull_backface)
+    if tables.treelets is not None:
+        from steeljax.accel.treelets import trace_treelets
+        return trace_treelets(tables.treelets, o, d, t_min, t_max,
+                              cull_backface=cull_backface)
     best = None
     tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o.shape[:1])
@@ -312,6 +374,10 @@ def trace_any(tables, tri_pos, tri_double_sided, o, d,
         return trace_nearest_instanced(tables, o, d, t_min, t_max,
                                        cull_backface=False,
                                        any_hit=True)["hit"]
+    if tables.treelets is not None:
+        from steeljax.accel.treelets import trace_treelets
+        return trace_treelets(tables.treelets, o, d, t_min, t_max,
+                              cull_backface=False, any_hit=True)["hit"]
     occluded = None
     tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o.shape[:1])

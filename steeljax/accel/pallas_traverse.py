@@ -539,6 +539,126 @@ def trace_nearest_packet8(bvh8, tris_packed, o, d, t_min, t_max,
 
 
 # ---------------------------------------------------------------------------
+# Streamed-treelet kernel: per-packet treelet selection via scalar prefetch
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_leaf", "depth", "cull_backface", "any_hit",
+                     "packet_sublanes", "shade_mode"))
+def _trace_packed8_treelet(node_stack, tri_stack, pid, o, d, tmn, tmx,
+                           max_leaf: int, depth: int,
+                           cull_backface: bool, any_hit: bool = False,
+                           packet_sublanes: int = SUBLANES,
+                           shade_stack=None, shade_mode: int = 0):
+    """One round of streamed-treelet traversal.
+
+    Unlike _trace_packed8 (whole tree resident in VMEM), the node/tri
+    tables live stacked per-treelet in HBM — (K, S, 128) / (K, R, 128) —
+    and each PACKET's blocks are DMA'd on demand: `pid[p]` (scalar
+    prefetch) drives the BlockSpec index_map, so the Mosaic pipeline
+    streams exactly the treelet each packet needs, skipping the copy when
+    consecutive packets want the same treelet (the scheduler sorts rays
+    so runs are long).  This is the TPU analog of persistent-thread ray
+    queues: it lifts the VMEM ceiling on scene size without chunk sweeps.
+
+    Rays arrive pre-padded: o/d/tmn/tmx are (P*subl*128,) component
+    arrays, pid is (P,) int32 in [0, K).  Triangle ids in the output are
+    TREELET-LOCAL (caller adds the treelet's triangle offset).
+    """
+    count = o.shape[0]
+    block = LANES * packet_sublanes
+    assert count % block == 0
+    rows = count // LANES
+    packets = rows // packet_sublanes
+    comps = [c.reshape(rows, LANES)
+             for c in (o[:, 0], o[:, 1], o[:, 2],
+                       d[:, 0], d[:, 1], d[:, 2], tmn, tmx)]
+
+    def ray_map(i, pid_ref):
+        return (i, 0)
+
+    def table_map(i, pid_ref):
+        return (pid_ref[i], 0, 0)
+
+    ray_spec = pl.BlockSpec((packet_sublanes, LANES), ray_map,
+                            memory_space=pltpu.VMEM)
+    node_spec = pl.BlockSpec((None,) + node_stack.shape[1:], table_map)
+    tri_spec = pl.BlockSpec((None,) + tri_stack.shape[1:], table_map)
+
+    kernel = functools.partial(
+        _kernel8_treelet, max_leaf=max_leaf,
+        cull_backface=cull_backface, any_hit=any_hit,
+        shade_mode=shade_mode)
+
+    f32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    i32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+    out_shape = [f32tile, f32tile, f32tile, i32tile]
+    if shade_mode:
+        out_shape += [f32tile, f32tile, f32tile, i32tile]
+    if shade_mode == 2:
+        out_shape += [f32tile] * 6
+
+    vmem = lambda dt: pltpu.VMEM((packet_sublanes, LANES), dt)
+    scratch = [
+        pltpu.SMEM((8 * depth + 16,), jnp.int32),
+        pltpu.SMEM((1,), jnp.int32),
+        vmem(jnp.float32), vmem(jnp.float32), vmem(jnp.float32),
+        vmem(jnp.int32),
+    ]
+    if shade_mode:
+        scratch += [vmem(jnp.float32)] * 5
+    if shade_mode == 2:
+        scratch += [vmem(jnp.float32)] * 6
+
+    inputs = [node_stack, tri_stack]
+    in_specs = [node_spec, tri_spec]
+    if shade_mode:
+        inputs.append(shade_stack)
+        in_specs.append(
+            pl.BlockSpec((None,) + shade_stack.shape[1:], table_map))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(packets,),
+        in_specs=in_specs + [ray_spec] * 8,
+        out_specs=[ray_spec] * len(out_shape),
+        scratch_shapes=scratch,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+    )(pid, *inputs, *comps)
+
+    flat = [x.reshape(-1) for x in outs]
+    t, u, v, idx = flat[:4]
+    rec = {"t": t, "tri": idx, "u": u, "v": v, "hit": idx >= 0}
+    if shade_mode:
+        nx, ny, nz, mat = flat[4:8]
+        rec["n"] = jnp.stack([nx, ny, nz], axis=-1)
+        rec["mat"] = mat
+    if shade_mode == 2:
+        tx, ty, tz, ux, uy, uvd = flat[8:14]
+        rec["tan"] = jnp.stack([tx, ty, tz], axis=-1)
+        rec["uv"] = jnp.stack([ux, uy], axis=-1)
+        rec["uvd"] = uvd
+    return rec
+
+
+def _kernel8_treelet(pid_ref, *refs, max_leaf: int, cull_backface: bool,
+                     any_hit: bool, shade_mode: int):
+    """Treelet kernel body = the flat BVH8 body; the prefetched pid ref is
+    consumed by the BlockSpec index maps, not the kernel."""
+    del pid_ref
+    _traverse_kernel8(*refs, max_leaf=max_leaf,
+                      cull_backface=cull_backface, any_hit=any_hit,
+                      shade_mode=shade_mode, shared_origin=False)
+
+
+# ---------------------------------------------------------------------------
 # Two-level kernel: instance TLAS over object-space BLAS (accel.instances)
 # ---------------------------------------------------------------------------
 
