@@ -8,4 +8,5 @@ and zero per-frame collectives.
 """
 
 from steeljax.parallel.mesh import (  # noqa: F401
-    make_mesh, render_frame_sharded, shard_pixels)
+    make_mesh, render_frame_sharded, render_hybrid_frame_sharded,
+    shard_pixels)

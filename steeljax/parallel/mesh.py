@@ -106,3 +106,49 @@ def render_frame_sharded(scene, tables, inverse_view, inverse_proj,
     if pad:
         flat = flat[:-pad]
     return flat.reshape(height, width, 3)
+
+
+def render_hybrid_frame_sharded(scene, tables, env, inverse_view,
+                                inverse_proj, view_proj, camera_near,
+                                camera_far, width: int, height: int,
+                                mesh: Mesh, light_volume=None,
+                                ray_tracing_enabled: bool = True):
+    """One sharded HYBRID frame (G-buffer -> deferred -> forward);
+    returns the (H, W, 3) host image.
+
+    The hybrid pipeline is even simpler to shard than PT: every stage is
+    per-pixel (primary visibility, shadow rays, IBL, composite) with no
+    in-flight repack, so plain shard_map over the pixel axis needs zero
+    per-frame collectives — the multi-chip analog of tiling
+    Lighting.comp's dispatch (LightingStage.cpp:149-157) across GPUs the
+    reference never had."""
+    from steeljax.render.hybrid.renderer import render_hybrid_pixels
+
+    px, py, pad = shard_pixels(mesh, width, height)
+    replicated = NamedSharding(mesh, P())
+    scene = jax.device_put(scene, replicated)
+    tables = jax.device_put(tables, replicated)
+    env = jax.device_put(env, replicated)
+    if light_volume is not None:
+        light_volume = jax.device_put(light_volume, replicated)
+    spec = _pixel_spec(mesh)
+
+    def body(scene, tables, env, light_volume, inverse_view, inverse_proj,
+             view_proj, px, py):
+        return render_hybrid_pixels(
+            scene, tables, env, inverse_view, inverse_proj, view_proj,
+            camera_near, camera_far, width, height, px, py,
+            light_volume=light_volume,
+            ray_tracing_enabled=ray_tracing_enabled)
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), spec, spec),
+        out_specs=spec, check_vma=False)
+    result = sharded(scene, tables, env, light_volume,
+                     jnp.asarray(inverse_view), jnp.asarray(inverse_proj),
+                     jnp.asarray(view_proj), px, py)
+    flat = np.asarray(result)
+    if pad:
+        flat = flat[:-pad]
+    return flat.reshape(height, width, 3)

@@ -120,3 +120,23 @@ def test_sharded_repack_stays_device_local_and_exact(monkeypatch):
     # XLA's fusion choices differ from the global program (measured max
     # 2.4e-7 with repack on OR off — not a repack artifact).
     np.testing.assert_allclose(single, sharded, atol=1e-5)
+
+
+def test_hybrid_sharded_matches_single_device(setup):
+    """The HYBRID pipeline (G-buffer -> deferred -> forward) under the
+    pixel mesh equals the single-device frame — the reference's second
+    render mode scales the same zero-collective way as PT."""
+    from steeljax.parallel import render_hybrid_frame_sharded
+    from steeljax.render.hybrid.renderer import HybridRenderer
+    from steeljax.scene.builtin import make_cornell_scene
+
+    scene = make_cornell_scene(sphere_detail=4)
+    flat, bvh, frame = setup
+    renderer = HybridRenderer(scene, W, H, RenderConfig(width=W, height=H),
+                              prepared=(flat, bvh))
+    single = renderer.render_frame()
+    mesh = make_mesh()
+    sharded = render_hybrid_frame_sharded(
+        flat, bvh, renderer.env, frame.inverse_view, frame.inverse_proj,
+        frame.view_proj, frame.camera_near, frame.camera_far, W, H, mesh)
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
