@@ -97,7 +97,7 @@ def backend_is_tpu() -> bool:
 def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
                    max_chunk: int | None = None,
                    use_pallas: bool | None = None, method: str = "auto",
-                   treelets: bool = False
+                   treelets: bool | None = None
                    ) -> tuple["TraceTables", np.ndarray, int]:
     """Build (possibly chunked) acceleration tables.
 
@@ -106,8 +106,12 @@ def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
     pad to total_padded — bvh.apply_permutation does both.
 
     `treelets=True` builds the streamed-treelet tables instead of the
-    chunk sweep (see the note above TraceTables.treelets).
+    chunk sweep (see the note above TraceTables.treelets); the default
+    comes from the STEELJAX_TREELETS env var (off).
     """
+    if treelets is None:
+        import os
+        treelets = bool(os.environ.get("STEELJAX_TREELETS"))
     if use_pallas is None:
         use_pallas = backend_is_tpu()
     if max_chunk is None:

@@ -27,16 +27,18 @@ The Vulkan reference gets the equivalent scheduling from RT-core MIMD
 hardware (traceRayEXT over a driver TLAS); this is the compiler-visible
 re-design of that hidden machinery.
 
-MEASURED (TPU v5e, 1.3-1.6M-tri stress scene): 16% SLOWER end-to-end
-than the chunk sweep (0.51 vs 0.60 Mray/s), insensitive to treelet size
-(64k/131k/256k) and packet size — incoherent packets' treelet unions
-cover most of the scene, so scheduling cannot reduce intersection work,
-and the demand DMA adds overhead the resident chunk kernel doesn't pay.
-Kept OPT-IN (dispatch.prepare_tables treelets=True) because its VMEM
-footprint is O(treelet) not O(chunk): the route for scenes far past
-MAX_CHUNK_TRIS, where the chunk sweep degenerates to many launches, and
-fused shading (impossible past BIG_CHUNK_ROWS in the resident kernel)
-stays available at any scene size.
+MEASURED (TPU v5e, 1.3-1.6M-tri stress scene): 13% SLOWER end-to-end
+than the chunk sweep (0.53 vs 0.61 Mray/s on bench.py stress, after the
+finished-packet interval-inversion fix; 16% before it).  Trace-only
+rounds are competitive on incoherent rays (256k treelets beat one
+chunked run), but coherent primaries stay 15-20% slower (the resident
+chunk kernel never re-DMAs), and 256k treelets with the fused shade
+stack exceed the VMEM pipeline budget.  Kept OPT-IN
+(dispatch.prepare_tables treelets=True, or STEELJAX_TREELETS=1) because
+the VMEM footprint is O(treelet) not O(chunk): the route for scenes far
+past MAX_CHUNK_TRIS, where the chunk sweep degenerates to many
+launches, and fused shading (impossible past BIG_CHUNK_ROWS in the
+resident kernel) stays available at any scene size.
 """
 
 from __future__ import annotations
@@ -261,7 +263,12 @@ def trace_treelets(tt: TreeletTables, o, d, t_min, t_max,
     def body(carry):
         rec, t_far, visited, pid, rounds = carry
         pid_safe = jnp.minimum(pid, k - 1)
-        rk = trace_fn(pid_safe, o, d, t_min, t_far)
+        # Finished packets (pid == k) still launch against treelet k-1;
+        # an inverted interval makes the kernel root-reject their rays in
+        # one pop instead of paying a full traversal every later round.
+        done_ray = jnp.repeat(pid >= k, block)
+        rk = trace_fn(pid_safe, o, d, t_min,
+                      jnp.where(done_ray, RAY_DEAD_T, t_far))
         # Treelet-local -> global triangle ids (per-packet offset).
         off = jnp.repeat(jnp.take(tt.tri_offsets, pid_safe), block)
         rk = dict(rk)
