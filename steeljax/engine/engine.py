@@ -5,7 +5,7 @@ ticks systems, and draws through the frame loop; steeljax's loop advances a
 virtual clock, processes injected events + systems, re-flattens the scene
 when its revision advanced (the every-frame TLAS rebuild, done on demand),
 and renders frames to arrays.  Keyboard semantics carried over: `T`
-toggles render mode, `R` clears jit caches (the shader hot-reload analog).
+toggles render mode, `R` reloads the active pipeline (per-renderer cache drop).
 """
 
 from __future__ import annotations
@@ -83,11 +83,9 @@ class Engine:
         if event.key == "t":
             self.renderer.toggle_render_mode()
         elif event.key == "r":
-            # Shader hot-reload analog: drop compiled executables so the
-            # next frame re-traces current Python code
-            # (HybridRenderer.cpp:117-129).
-            import jax
-            jax.clear_caches()
+            # Per-pipeline shader reload: only the active renderer's
+            # executables drop (HybridRenderer.cpp:117-129).
+            self.renderer.reload_pipelines()
 
     def _on_resize(self, extent) -> None:
         """eResize (Engine.cpp:135-149): zero-area extents suspend drawing

@@ -70,6 +70,29 @@ class SceneRenderer:
             self.path_tracer.reset_accumulation()
         return self.mode
 
+    def reload_pipelines(self) -> None:
+        """The `R` key: per-pipeline shader reload, the analog of
+        HybridRenderer::ReloadShaders (HybridRenderer.cpp:117-129) /
+        PathTracingRenderer reload (PathTracingRenderer.cpp:328-349).
+
+        Drops ONLY the active mode's compiled executables — its frame
+        function plus the traversal kernels it binds — so the next frame
+        re-traces current Python code; the other mode's pipelines stay
+        warm (not a global jax.clear_caches flush).  Path tracing also
+        resets accumulation, like the reference's reload handler."""
+        from steeljax.accel import pallas_traverse as ptv
+
+        for kernel in (ptv._trace_packed8, ptv._trace_packed8_treelet,
+                       ptv._trace_packed8_inst):
+            kernel.clear_cache()
+        if self.mode is RenderMode.PATH_TRACING:
+            from steeljax.render.pt import integrator
+            integrator.render_pixels.clear_cache()
+            self.path_tracer.reset_accumulation()
+        else:
+            from steeljax.render.hybrid import renderer as hybrid_mod
+            hybrid_mod.render_hybrid_pixels.clear_cache()
+
     def refresh_scene(self) -> None:
         """Rebuild device arrays after scene mutation (the on-demand analog
         of the reference's every-frame TLAS rebuild + dirty-storage

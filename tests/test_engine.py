@@ -277,3 +277,26 @@ def test_overlay_text_bindings():
     assert len(lines) == 2
     assert lines[0].startswith("Frame time: ") and "FPS" in lines[0]
     assert lines[1] == "frame 1"
+
+
+def test_reload_pipelines_is_per_mode(tiny_env):
+    """The R key drops only the ACTIVE mode's compiled frame function
+    (per-pipeline reload, HybridRenderer.cpp:117-129) — the other mode's
+    executables stay warm — and the next tick still renders."""
+    from steeljax.render.hybrid import renderer as hybrid_mod
+    from steeljax.render.pt import integrator
+
+    scene = make_cornell_scene(sphere_detail=4)
+    engine = Engine(scene, 16, 9, RenderConfig(width=16, height=9),
+                    environment=tiny_env)
+    engine.tick(1 / 30)                      # compile PT frame
+    engine.inject_key("t")                   # -> hybrid
+    engine.tick(1 / 30)                      # compile hybrid frame
+    assert integrator.render_pixels._cache_size() > 0
+    assert hybrid_mod.render_hybrid_pixels._cache_size() > 0
+
+    engine.inject_key("r")                   # reload ACTIVE (hybrid)
+    assert hybrid_mod.render_hybrid_pixels._cache_size() == 0
+    assert integrator.render_pixels._cache_size() > 0  # PT stays warm
+    frame = engine.tick(1 / 30)              # recompiles + renders
+    assert frame.shape == (9, 16, 3)
