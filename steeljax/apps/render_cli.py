@@ -32,6 +32,10 @@ def main(argv=None) -> int:
                              " — surrogate for missing panorama assets")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="capture a jax.profiler device trace of the "
+                             "render into DIR (view with perfetto / "
+                             "tensorboard — the easy_profiler analog)")
     parser.add_argument("--instancing", action="store_true",
                         help="two-level acceleration structure (per-"
                              "primitive BLAS + instance TLAS; pt mode)")
@@ -76,6 +80,12 @@ def main(argv=None) -> int:
     config = RenderConfig(width=width, height=height,
                           render_to_hdr=args.hdr)
 
+    import contextlib
+
+    from steeljax.core import profiling
+    profile_ctx = (profiling.trace(args.profile) if args.profile
+                   else contextlib.nullcontext())
+
     t0 = time.time()
     if args.mode == "pt":
         from steeljax.core.logger import log_i
@@ -87,20 +97,22 @@ def main(argv=None) -> int:
         # primary-ray throughput.
         image = None
         last = time.time()
-        for i in range(args.spp):
-            image = renderer.render_frame()
-            now = time.time()
-            dt = max(now - last, 1e-9)
-            last = now
-            log_i(f"frame {i + 1}/{args.spp}: {dt * 1000.0:.2f} ms "
-                  f"({1.0 / dt:.1f} FPS, "
-                  f"{width * height / dt / 1e6:.1f} Mpray/s)")
+        with profile_ctx:
+            for i in range(args.spp):
+                image = renderer.render_frame()
+                now = time.time()
+                dt = max(now - last, 1e-9)
+                last = now
+                log_i(f"frame {i + 1}/{args.spp}: {dt * 1000.0:.2f} ms "
+                      f"({1.0 / dt:.1f} FPS, "
+                      f"{width * height / dt / 1e6:.1f} Mpray/s)")
     else:
         from steeljax.render.hybrid.renderer import HybridRenderer
         renderer = HybridRenderer(scene, width, height, config)
         if args.gi:
             renderer.bake_light_volume()
-        image = renderer.render_frame()
+        with profile_ctx:
+            image = renderer.render_frame()
     print(f"rendered {args.mode} {width}x{height} spp={args.spp} "
           f"in {time.time() - t0:.1f}s", file=sys.stderr)
 

@@ -56,18 +56,22 @@ def render_hybrid_pixels(scene, tables, env: Environment,
     # Vertical pixel spread = 2*tan(fovy/2)/H, recovered from the
     # projection: inverse_proj[1][1] = tan(fovy/2) (with the Vulkan flip).
     pixel_spread = 2.0 * jnp.abs(inverse_proj[1, 1]) / height
-    gbuffer = generate_gbuffer(scene, tables, origin, direction,
-                               camera_near, camera_far, view_proj,
-                               camera_position,
-                               pixel_spread=pixel_spread)
+    # named_scope = the EASY_BLOCK stage markers (SURVEY.md §5): each
+    # stage shows up as a labeled span in jax.profiler traces.
+    with jax.named_scope("gbuffer_stage"):
+        gbuffer = generate_gbuffer(scene, tables, origin, direction,
+                                   camera_near, camera_far, view_proj,
+                                   camera_position,
+                                   pixel_spread=pixel_spread)
 
     inverse_proj_view = jnp.einsum(
         "ij,jk->ik", inverse_view, inverse_proj)
     uv = jnp.stack([u, v], axis=-1)
-    lit = deferred_lighting(scene, tables, env, gbuffer, uv,
-                            inverse_proj_view, camera_position,
-                            light_volume=light_volume,
-                            ray_tracing_enabled=ray_tracing_enabled)
+    with jax.named_scope("lighting_stage"):
+        lit = deferred_lighting(scene, tables, env, gbuffer, uv,
+                                inverse_proj_view, camera_position,
+                                light_volume=light_volume,
+                                ray_tracing_enabled=ray_tracing_enabled)
 
     # Opaque hit distance for the blend-stage depth test, reconstructed
     # from the stored depth exactly like the raster pipeline would z-test.
@@ -75,9 +79,10 @@ def render_hybrid_pixels(scene, tables, env: Environment,
     position = restore_position(gbuffer["depth"], uv, inverse_proj_view)
     opaque_t = jnp.linalg.norm(position - origin, axis=-1)
 
-    return forward_stage(scene, tables, env, lit, gbuffer, origin,
-                         direction, opaque_t, camera_near,
-                         camera_position, ray_tracing_enabled)
+    with jax.named_scope("forward_stage"):
+        return forward_stage(scene, tables, env, lit, gbuffer, origin,
+                             direction, opaque_t, camera_near,
+                             camera_position, ray_tracing_enabled)
 
 
 class HybridRenderer:

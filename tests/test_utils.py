@@ -112,3 +112,19 @@ def test_probe_overlay():
     img = np.zeros((36, 64, 3), np.float32)
     out = overlay_probes(img, lv, frame.view_proj)
     assert out.max() > 0.0  # the probe at the origin is in view
+
+
+def test_render_cli_profile_writes_trace(tmp_path):
+    """--profile captures a jax.profiler trace of the render (the
+    easy_profiler-socket analog, SURVEY.md §5)."""
+    from steeljax.apps.render_cli import main
+
+    out = tmp_path / "r.png"
+    trace_dir = tmp_path / "trace"
+    rc = main(["builtin:cornell", "-o", str(out), "--size", "16x9",
+               "--spp", "1", "--cpu", "--profile", str(trace_dir)])
+    assert rc == 0 and out.exists()
+    traces = list(trace_dir.rglob("*.pb")) + list(
+        trace_dir.rglob("*.trace.json.gz")) + list(
+        trace_dir.rglob("*.xplane.pb"))
+    assert traces, f"no trace files under {trace_dir}"
