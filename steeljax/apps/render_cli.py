@@ -25,6 +25,18 @@ def main(argv=None) -> int:
     parser.add_argument("--mode", choices=["pt", "hybrid"], default="pt")
     parser.add_argument("--gi", action="store_true",
                         help="bake + use the light-volume GI (hybrid mode)")
+    parser.add_argument("--show-probes", action="store_true",
+                        help="overlay light-volume probe splats on the "
+                             "frame (the reference's orphaned LightVolume"
+                             "Positions viz, working; implies --gi)")
+    parser.add_argument("--gi-spp", type=int, default=8,
+                        help="probe-capture samples per pixel")
+    parser.add_argument("--gi-min-edge", type=float, default=None,
+                        help="octree min cell edge for probe placement "
+                             "(GlobalIllumination.cpp:34 default 0.5)")
+    parser.add_argument("--gi-resolution", type=int, default=None,
+                        help="probe cubemap face resolution (default 32, "
+                             "ProbeRenderer.cpp:8-10)")
     parser.add_argument("--hdr", action="store_true",
                         help="skip tone mapping (linear output)")
     parser.add_argument("--env-color", default=None,
@@ -109,10 +121,19 @@ def main(argv=None) -> int:
     else:
         from steeljax.render.hybrid.renderer import HybridRenderer
         renderer = HybridRenderer(scene, width, height, config)
-        if args.gi:
-            renderer.bake_light_volume()
+        if args.gi or args.show_probes:
+            bake_kwargs = {"spp": args.gi_spp}
+            if args.gi_min_edge is not None:
+                bake_kwargs["min_edge"] = args.gi_min_edge
+            if args.gi_resolution is not None:
+                bake_kwargs["resolution"] = args.gi_resolution
+            renderer.bake_light_volume(**bake_kwargs)
         with profile_ctx:
             image = renderer.render_frame()
+        if args.show_probes:
+            from steeljax.gi.debug import overlay_probes
+            image = overlay_probes(image, renderer.light_volume,
+                                   renderer.frame.view_proj)
     print(f"rendered {args.mode} {width}x{height} spp={args.spp} "
           f"in {time.time() - t0:.1f}s", file=sys.stderr)
 
