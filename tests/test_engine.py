@@ -262,7 +262,7 @@ def test_typed_input_enums_normalize():
     assert ModifierFlags.SHIFT in flags and ModifierFlags.ALT not in flags
 
 
-def test_overlay_text_bindings():
+def test_overlay_text_bindings(tiny_env):
     """UIRenderer analog: default frame-time binding + BindText-style
     registration (UIRenderer.cpp:106-125)."""
     from steeljax.core.config import RenderConfig
@@ -270,7 +270,8 @@ def test_overlay_text_bindings():
     from steeljax.scene.builtin import make_cornell_scene
 
     engine = Engine(make_cornell_scene(sphere_detail=4), width=16,
-                    height=16, config=RenderConfig(width=16, height=16))
+                    height=9, config=RenderConfig(width=16, height=9),
+                    environment=tiny_env)
     engine.add_text_binding(lambda: f"frame {engine.frame_index}")
     engine.tick(1 / 30)
     lines = engine.overlay_lines()

@@ -113,11 +113,20 @@ def test_instanced_hybrid_renders():
     w, h = 64, 36
     scene = make_parity_scene(sphere_detail=4)
     config = RenderConfig(width=w, height=h)
+    # One tiny shared IBL bake: the default reference-budget bake costs
+    # minutes on the CI CPU and the comparison only needs both renderers
+    # to see the SAME environment.
+    from steeljax.env.environment import load_environment
+    from steeljax.env.sky import procedural_sky_cube
+    env = load_environment(
+        cube=procedural_sky_cube(16), irradiance_resolution=4,
+        reflection_resolution=8, lut_resolution=16, lut_samples=32,
+        reflection_samples=16, irradiance_delta=0.4)
     flat_img = HybridRenderer(
-        scene, w, h, config,
+        scene, w, h, config, environment=env,
         prepared=prepare_scene(scene, env_resolution=16)).render_frame()
     inst_img = HybridRenderer(
-        scene, w, h, config,
+        scene, w, h, config, environment=env,
         prepared=prepare_scene(scene, env_resolution=16,
                                accel=InstancedAccel(
                                    use_pallas=False))).render_frame()

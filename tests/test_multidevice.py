@@ -126,14 +126,20 @@ def test_hybrid_sharded_matches_single_device(setup):
     """The HYBRID pipeline (G-buffer -> deferred -> forward) under the
     pixel mesh equals the single-device frame — the reference's second
     render mode scales the same zero-collective way as PT."""
+    from steeljax.env.environment import load_environment
+    from steeljax.env.sky import procedural_sky_cube
     from steeljax.parallel import render_hybrid_frame_sharded
     from steeljax.render.hybrid.renderer import HybridRenderer
     from steeljax.scene.builtin import make_cornell_scene
 
     scene = make_cornell_scene(sphere_detail=4)
     flat, bvh, frame = setup
+    env = load_environment(
+        cube=procedural_sky_cube(16), irradiance_resolution=4,
+        reflection_resolution=8, lut_resolution=16, lut_samples=32,
+        reflection_samples=16, irradiance_delta=0.4)
     renderer = HybridRenderer(scene, W, H, RenderConfig(width=W, height=H),
-                              prepared=(flat, bvh))
+                              environment=env, prepared=(flat, bvh))
     single = renderer.render_frame()
     mesh = make_mesh()
     sharded = render_hybrid_frame_sharded(
