@@ -38,6 +38,11 @@ MAX_CHUNK_TRIS = 1_200_000
 # does not shrink — same floor as the resident kernel.  Kept because it
 # is the only path whose VMEM footprint is O(treelet), not O(chunk):
 # use it for scenes so large the chunk sweep degenerates (>>MAX_CHUNK_TRIS).
+# Ceiling for the treelets' double-buffered (nodes + tris + shade) VMEM
+# block when attaching fused shading (chip VMEM 128 MB; rays/outputs and
+# scratch need the rest).  131k-tri treelets + mode-1 shade fit; 262k do
+# not (measured spill).
+TREELET_SHADE_VMEM_BUDGET = 100 * 1024 * 1024
 # Chunks above this row count are traced with halved packets (deep trees
 # are leaf-VPU-bound on incoherent packets) and skip the fused shade
 # tables (tris+shade past this spills scoped VMEM and collapses the
@@ -235,8 +240,17 @@ def attach_shade_tables(tables: TraceTables, tri_nrm, tri_tan, tri_uv,
     if tables.treelets is not None:
         # Streamed treelets DMA per-treelet blocks, so fused shading fits
         # at ANY scene size (the resident kernel had to drop it past
-        # BIG_CHUNK_ROWS and pay the post-trace row gather).
+        # BIG_CHUNK_ROWS and pay the post-trace row gather) — provided
+        # the double-buffered (nodes + tris + shade) block stays inside
+        # the VMEM pipeline budget (262k-tri treelets + shade measured a
+        # spill); otherwise keep the post-trace gather path.
         from steeljax.accel.treelets import attach_shade_stack
+        tt = tables.treelets
+        per = 1 if mode == 1 else 2
+        block_bytes = 4 * 128 * (tt.node_stack.shape[1]
+                                 + tt.tri_stack.shape[1] * (1 + per))
+        if 2 * block_bytes > TREELET_SHADE_VMEM_BUDGET:
+            return tables
         packed = ptv.pack_shade_records(
             np.asarray(tri_nrm), np.asarray(tri_tan), np.asarray(tri_uv),
             np.asarray(tri_mat), textured,

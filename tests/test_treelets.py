@@ -221,3 +221,24 @@ def test_prepare_tables_treelet_optin():
     default_tables, _, _ = prepare_tables(
         tri, np.zeros(len(tri), bool), leaf_size=LEAF, use_pallas=True)
     assert default_tables.treelets is None
+
+
+def test_shade_attach_respects_vmem_budget(monkeypatch):
+    """Oversized treelets keep the post-trace gather path instead of
+    attaching a fused shade stack that would spill the VMEM pipeline."""
+    from steeljax.accel import dispatch
+    from steeljax.accel.dispatch import attach_shade_tables, prepare_tables
+
+    tri = _soup(2000, seed=5)
+    tables, order, padded = prepare_tables(
+        tri, np.zeros(len(tri), bool), leaf_size=LEAF,
+        use_pallas=True, treelets=True)
+    nrm = np.tile(np.float32([0, 0, 1]), (padded, 3, 1))
+    tan = np.tile(np.float32([1, 0, 0]), (padded, 3, 1))
+    uv = np.zeros((padded, 3, 2), np.float32)
+    mat = np.zeros(padded, np.int32)
+
+    monkeypatch.setattr(dispatch, "TREELET_SHADE_VMEM_BUDGET", 1)
+    shaded = attach_shade_tables(tables, nrm, tan, uv, mat, textured=False)
+    assert shaded.shade_mode == 0
+    assert shaded.treelets.shade_stack is None
