@@ -48,6 +48,13 @@ def main(argv=None) -> int:
                         help="capture a jax.profiler device trace of the "
                              "render into DIR (view with perfetto / "
                              "tensorboard — the easy_profiler analog)")
+    parser.add_argument("--checkpoint", metavar="FILE.npz", default=None,
+                        help="pt mode: resume accumulation from FILE if it "
+                             "exists and save it at the end — long "
+                             "converging renders survive restarts")
+    parser.add_argument("--lv-checkpoint", metavar="FILE.npz", default=None,
+                        help="gi mode: load the light-volume bake from "
+                             "FILE if it exists, else bake and save it")
     parser.add_argument("--instancing", action="store_true",
                         help="two-level acceleration structure (per-"
                              "primitive BLAS + instance TLAS; pt mode)")
@@ -104,6 +111,14 @@ def main(argv=None) -> int:
         from steeljax.render.pt.renderer import PathTracingRenderer
         renderer = PathTracingRenderer(scene, width, height, config,
                                        instancing=args.instancing)
+        if args.checkpoint:
+            from pathlib import Path
+
+            from steeljax.io import checkpoint as ckpt
+            if Path(args.checkpoint).exists():
+                renderer.state = ckpt.load_accumulation(args.checkpoint)
+                log_i(f"resumed accumulation at index "
+                      f"{int(renderer.state.index)} from {args.checkpoint}")
         # Per-frame stats — the UIRenderer frame-time overlay analog
         # ("Frame time: %.2f ms (%.1f FPS)", UIRenderer.cpp:108-112), plus
         # primary-ray throughput.
@@ -118,16 +133,30 @@ def main(argv=None) -> int:
                 log_i(f"frame {i + 1}/{args.spp}: {dt * 1000.0:.2f} ms "
                       f"({1.0 / dt:.1f} FPS, "
                       f"{width * height / dt / 1e6:.1f} Mpray/s)")
+        if args.checkpoint:
+            ckpt.save_accumulation(args.checkpoint, renderer.state)
+            log_i(f"saved accumulation index {int(renderer.state.index)} "
+                  f"to {args.checkpoint}")
     else:
         from steeljax.render.hybrid.renderer import HybridRenderer
         renderer = HybridRenderer(scene, width, height, config)
         if args.gi or args.show_probes:
-            bake_kwargs = {"spp": args.gi_spp}
-            if args.gi_min_edge is not None:
-                bake_kwargs["min_edge"] = args.gi_min_edge
-            if args.gi_resolution is not None:
-                bake_kwargs["resolution"] = args.gi_resolution
-            renderer.bake_light_volume(**bake_kwargs)
+            from pathlib import Path
+
+            from steeljax.io import checkpoint as ckpt
+            if args.lv_checkpoint and Path(args.lv_checkpoint).exists():
+                renderer.light_volume = ckpt.load_light_volume(
+                    args.lv_checkpoint)
+            else:
+                bake_kwargs = {"spp": args.gi_spp}
+                if args.gi_min_edge is not None:
+                    bake_kwargs["min_edge"] = args.gi_min_edge
+                if args.gi_resolution is not None:
+                    bake_kwargs["resolution"] = args.gi_resolution
+                renderer.bake_light_volume(**bake_kwargs)
+                if args.lv_checkpoint:
+                    ckpt.save_light_volume(args.lv_checkpoint,
+                                           renderer.light_volume)
         with profile_ctx:
             image = renderer.render_frame()
         if args.show_probes:

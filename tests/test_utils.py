@@ -128,3 +128,21 @@ def test_render_cli_profile_writes_trace(tmp_path):
         trace_dir.rglob("*.trace.json.gz")) + list(
         trace_dir.rglob("*.xplane.pb"))
     assert traces, f"no trace files under {trace_dir}"
+
+
+def test_render_cli_checkpoint_resume(tmp_path):
+    """--checkpoint: a second CLI run resumes the accumulation index
+    instead of starting over (the persistence the reference lacks)."""
+    import numpy as np
+
+    from steeljax.apps.render_cli import main
+
+    ck = tmp_path / "accum.npz"
+    out = tmp_path / "r.png"
+    args = ["builtin:cornell", "-o", str(out), "--size", "16x9",
+            "--spp", "2", "--cpu", "--checkpoint", str(ck)]
+    assert main(args) == 0
+    first = np.load(ck)["index"]
+    assert int(first) == 2
+    assert main(args) == 0
+    assert int(np.load(ck)["index"]) == 4
