@@ -57,7 +57,7 @@ def main(argv=None) -> int:
                              "FILE if it exists, else bake and save it")
     parser.add_argument("--instancing", action="store_true",
                         help="two-level acceleration structure (per-"
-                             "primitive BLAS + instance TLAS; pt mode)")
+                             "primitive BLAS + instance TLAS)")
     parser.add_argument("--validate", action="store_true",
                         help="run structural invariant validation on the "
                              "prepared scene/BVH (the validation-layers "
@@ -139,7 +139,13 @@ def main(argv=None) -> int:
                   f"to {args.checkpoint}")
     else:
         from steeljax.render.hybrid.renderer import HybridRenderer
-        renderer = HybridRenderer(scene, width, height, config)
+        prepared = None
+        if args.instancing:
+            from steeljax.accel.instances import InstancedAccel
+            from steeljax.render.pt.renderer import prepare_scene
+            prepared = prepare_scene(scene, accel=InstancedAccel())
+        renderer = HybridRenderer(scene, width, height, config,
+                                  prepared=prepared)
         if args.gi or args.show_probes:
             from pathlib import Path
 
