@@ -122,7 +122,14 @@ def _decode_buffer(buffer_def: dict, base_dir: Path,
         return glb_chunk
     if uri.startswith("data:"):
         return base64.b64decode(uri.split(",", 1)[1])
-    return (base_dir / uri).read_bytes()
+    buffer_path = base_dir / uri
+    if not buffer_path.exists():
+        # Name the scene-relative dependency: the reference checkout, for
+        # one, ships Sponza.gltf without its Sponza.bin.
+        raise FileNotFoundError(
+            f"GLTF buffer {uri!r} is missing next to the scene "
+            f"(expected {buffer_path}); the geometry cannot be loaded")
+    return buffer_path.read_bytes()
 
 
 def load(path: str | Path) -> GltfDocument:

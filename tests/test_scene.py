@@ -143,3 +143,21 @@ def test_sphere_winding_outward():
     ok = area > 1e-8  # skip degenerate pole triangles
     dots = np.einsum("ij,ij->i", face_n[ok], centers[ok])
     assert (dots > 0).all(), "sphere winding must face outward"
+
+
+def test_missing_buffer_names_the_dependency(tmp_path):
+    """A GLTF whose external .bin is absent (the reference checkout's
+    Sponza) fails with an error naming the missing file, not a bare
+    open() traceback."""
+    import json
+
+    import pytest
+
+    gltf = tmp_path / "s.gltf"
+    gltf.write_text(json.dumps({
+        "asset": {"version": "2.0"},
+        "buffers": [{"uri": "s.bin", "byteLength": 4}],
+    }))
+    from steeljax.scene import gltf as gltf_mod
+    with pytest.raises(FileNotFoundError, match="GLTF buffer 's.bin'"):
+        gltf_mod.load(gltf)
