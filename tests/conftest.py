@@ -15,6 +15,10 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8")
+# Validation layers on, like the reference's debug builds
+# (VulkanConfig.hpp:17-21): every prepare_scene in the suite runs the
+# structural invariant checks (core.validate).
+os.environ.setdefault("STEELJAX_VALIDATE", "1")
 
 import jax  # noqa: E402
 
