@@ -116,7 +116,7 @@ def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
     """
     if treelets is None:
         import os
-        treelets = bool(os.environ.get("STEELJAX_TREELETS"))
+        treelets = os.environ.get("STEELJAX_TREELETS", "0") == "1"
     if use_pallas is None:
         use_pallas = backend_is_tpu()
     if max_chunk is None:

@@ -57,10 +57,6 @@ from steeljax.core.constants import RAY_DEAD_T
 # Target treelet size: tri table 8 MB + nodes, double-buffered by the
 # pipeline, leaves headroom under the 128 MB chip VMEM.
 TREELET_TRIS = 131_072
-# Scheduler safety bound; measured rounds are ~2x the per-packet treelet
-# union (a handful).  Hitting the bound only loses hits BEYOND already
-# found ones, but assert generously anyway.
-MAX_ROUNDS = 64
 
 
 @struct.dataclass
@@ -189,7 +185,9 @@ def _entry_distances(tt: TreeletTables, o, d, t_min, t_max):
 
 
 def _next_pid(entry, visited, t_far, block):
-    """Per-ray nearest wanted treelet -> per-packet choice (lane min).
+    """Per-ray nearest wanted treelet -> per-packet NEAREST choice (the
+    treelet whose entry distance is the packet-wide minimum, so hits
+    shrink t_far before farther treelets are considered).
 
     Returns (P,) int32 in [0, K]; K means the packet is done."""
     k = entry.shape[1]
@@ -197,7 +195,12 @@ def _next_pid(entry, visited, t_far, block):
     best = jnp.min(masked, axis=1)
     desired = jnp.argmin(masked, axis=1).astype(jnp.int32)
     desired = jnp.where(jnp.isfinite(best), desired, jnp.int32(k))
-    return jnp.min(desired.reshape(-1, block), axis=1)
+    # Packet pick = the desired treelet of the packet's nearest-entry ray
+    # (an all-done packet's argmin ray has best=inf, hence desired=K).
+    best_p = best.reshape(-1, block)
+    desired_p = desired.reshape(-1, block)
+    ray_ix = jnp.argmin(best_p, axis=1)
+    return jnp.take_along_axis(desired_p, ray_ix[:, None], axis=1)[:, 0]
 
 
 def trace_treelets(tt: TreeletTables, o, d, t_min, t_max,
@@ -258,7 +261,10 @@ def trace_treelets(tt: TreeletTables, o, d, t_min, t_max,
 
     def cond(carry):
         _, _, _, pid, rounds = carry
-        return jnp.any(pid < k) & (rounds < MAX_ROUNDS)
+        # Every round retires >= 1 treelet per live packet (visited
+        # masking), so K rounds is an exact upper bound — the backstop
+        # can never drop hits, whatever the cut size.
+        return jnp.any(pid < k) & (rounds < k)
 
     def body(carry):
         rec, t_far, visited, pid, rounds = carry

@@ -116,9 +116,19 @@ def main(argv=None) -> int:
 
             from steeljax.io import checkpoint as ckpt
             if Path(args.checkpoint).exists():
-                renderer.state = ckpt.load_accumulation(args.checkpoint)
-                log_i(f"resumed accumulation at index "
-                      f"{int(renderer.state.index)} from {args.checkpoint}")
+                state = ckpt.load_accumulation(args.checkpoint)
+                if state.accumulated.shape != (height, width, 3):
+                    # Resolution changed: accumulation restarts, exactly
+                    # like the reference's resize reset.
+                    from steeljax.core.logger import log_w
+                    log_w(f"checkpoint {args.checkpoint} is "
+                          f"{state.accumulated.shape[1]}x"
+                          f"{state.accumulated.shape[0]}, render is "
+                          f"{width}x{height}; starting fresh")
+                else:
+                    renderer.state = state
+                    log_i(f"resumed accumulation at index "
+                          f"{int(state.index)} from {args.checkpoint}")
         # Per-frame stats — the UIRenderer frame-time overlay analog
         # ("Frame time: %.2f ms (%.1f FPS)", UIRenderer.cpp:108-112), plus
         # primary-ray throughput.

@@ -75,11 +75,15 @@ class SceneRenderer:
         HybridRenderer::ReloadShaders (HybridRenderer.cpp:117-129) /
         PathTracingRenderer reload (PathTracingRenderer.cpp:328-349).
 
-        Drops ONLY the active mode's compiled executables — its frame
-        function plus the traversal kernels it binds — so the next frame
-        re-traces current Python code; the other mode's pipelines stay
-        warm (not a global jax.clear_caches flush).  Path tracing also
-        resets accumulation, like the reference's reload handler."""
+        Drops the active mode's compiled frame function so the next
+        frame re-traces current Python code; the OTHER mode's compiled
+        executable stays warm and keeps serving (not a global
+        jax.clear_caches flush).  The shared traversal-kernel jit caches
+        are also dropped — they hold the traced jaxprs the frame re-trace
+        would otherwise reuse, so clearing them is what makes edited
+        kernel code actually load; the inactive mode only picks those up
+        if/when it re-traces.  Path tracing also resets accumulation,
+        like the reference's reload handler."""
         from steeljax.accel import pallas_traverse as ptv
 
         for kernel in (ptv._trace_packed8, ptv._trace_packed8_treelet,

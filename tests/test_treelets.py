@@ -242,3 +242,31 @@ def test_shade_attach_respects_vmem_budget(monkeypatch):
     shaded = attach_shade_tables(tables, nrm, tan, uv, mat, textured=False)
     assert shaded.shade_mode == 0
     assert shaded.treelets.shade_stack is None
+
+
+def test_many_treelet_cut_loses_no_hits(built):
+    """Regression: the round loop must run to completion for ANY treelet
+    count (a fixed 64-round backstop silently dropped hits at K=174)."""
+    bvh, permuted, tt_unused = built
+    packed = pack_tris(permuted, np.zeros(len(permuted), bool))
+    tt = build_treelet_tables(np.asarray(bvh.nodes), packed, LEAF,
+                              max_tris=24)
+    assert tt.count > 64, "cut must exceed the old round backstop"
+
+    rng = np.random.default_rng(19)
+    n = 512
+    o = rng.uniform(-14, 14, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    subl = 2
+    block = LANES * subl
+    rec = trace_treelets(tt, jnp.asarray(o), jnp.asarray(d), 1e-3, 1e4,
+                         cull_backface=True, packet_sublanes=subl,
+                         trace_fn=_mock_trace(permuted, tt, block))
+    t_ref = _reference(permuted, o, d, np.full(n, 1e-3, np.float32),
+                       np.full(n, 1e4, np.float32))
+    hit_ref = t_ref >= 0
+    np.testing.assert_array_equal(np.asarray(rec["hit"]), hit_ref)
+    np.testing.assert_allclose(np.asarray(rec["t"])[hit_ref],
+                               t_ref[hit_ref], rtol=1e-5, atol=1e-5)

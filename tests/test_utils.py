@@ -146,3 +146,37 @@ def test_render_cli_checkpoint_resume(tmp_path):
     assert int(first) == 2
     assert main(args) == 0
     assert int(np.load(ck)["index"]) == 4
+
+
+def test_render_cli_checkpoint_size_mismatch_starts_fresh(tmp_path):
+    """A checkpoint saved at another resolution is ignored with a warning
+    (the resize-resets-accumulation semantics), not a shape crash."""
+    import numpy as np
+
+    from steeljax.apps.render_cli import main
+
+    ck = tmp_path / "accum.npz"
+    out = tmp_path / "r.png"
+    base = ["builtin:cornell", "-o", str(out), "--spp", "1", "--cpu",
+            "--checkpoint", str(ck)]
+    assert main(base + ["--size", "16x9"]) == 0
+    assert main(base + ["--size", "16x12"]) == 0  # mismatched resume
+    assert int(np.load(ck)["index"]) == 1  # fresh accumulation, re-saved
+    assert np.load(ck)["accumulated"].shape == (12, 16, 3)
+
+
+def test_treelet_env_gate_requires_exactly_one(monkeypatch):
+    """STEELJAX_TREELETS=0 must NOT enable the treelet path."""
+    import numpy as np
+
+    from steeljax.accel.dispatch import prepare_tables
+
+    rng = np.random.default_rng(0)
+    tri = rng.normal(size=(64, 3, 3)).astype(np.float32)
+    ds = np.zeros(64, bool)
+    monkeypatch.setenv("STEELJAX_TREELETS", "0")
+    tables, _, _ = prepare_tables(tri, ds, use_pallas=True)
+    assert tables.treelets is None
+    monkeypatch.setenv("STEELJAX_TREELETS", "1")
+    tables, _, _ = prepare_tables(tri, ds, use_pallas=True)
+    assert tables.treelets is not None
