@@ -88,3 +88,49 @@ def test_golden_cornell_interior_rmse_full():
     # Measured 0.131 at 48 spp (240x136); see docs/golden/README.md for
     # the residual decomposition (noise + directional env structure).
     assert value < 0.18, f"interior RMSE {value:.3f} vs gallery"
+
+
+HYBRID_GALLERY = REFERENCE / "Gallery/Images/CornellBox_Hybrid.png"
+
+
+def _render_hybrid(width, height):
+    from steeljax.core.config import RenderConfig
+    from steeljax.env.environment import load_environment
+    from steeljax.render.hybrid.renderer import HybridRenderer
+    from steeljax.render.pt.renderer import prepare_scene
+    from steeljax.scene import load_scene
+
+    scene = load_scene(str(SCENE))
+    scene.environment_color = SURROGATE_ENV
+    prepared = prepare_scene(scene, env_resolution=16)
+    env = load_environment(cube=np.asarray(prepared[0].env_cube),
+                           irradiance_resolution=8, reflection_resolution=16,
+                           lut_resolution=32, lut_samples=64,
+                           reflection_samples=64, irradiance_delta=0.2)
+    renderer = HybridRenderer(
+        scene, width, height, RenderConfig(width=width, height=height),
+        environment=env, prepared=prepared)
+    return np.asarray(renderer.render_frame(), np.float64)
+
+
+@pytest.mark.skipif(not HYBRID_GALLERY.exists(),
+                    reason="hybrid gallery image absent")
+def test_golden_cornell_hybrid_interior_rmse_smoke():
+    """The hybrid pipeline against the reference's converged hybrid
+    render (CornellBox_Hybrid.png) — deterministic, so one frame
+    suffices; same interior crop and surrogate-env caveats as the PT
+    gate (docs/golden/README.md)."""
+    from PIL import Image
+
+    from steeljax.apps.compare import rmse
+
+    w, h = 120, 68
+    ours = _render_hybrid(w, h)
+    img = Image.open(HYBRID_GALLERY).convert("RGB").resize(
+        (w, h), Image.LANCZOS)
+    ref = np.asarray(img, np.float64) / 255.0
+    value = rmse(_interior(ref, w, h), _interior(ours, w, h))
+    # Measured 0.0999 (surrogate-env flatness dominates, same as the
+    # documented 480p measurement); gross regressions (G-buffer,
+    # lighting, tone map) land > 0.3.
+    assert value < 0.25, f"hybrid interior RMSE {value:.3f} vs gallery"
