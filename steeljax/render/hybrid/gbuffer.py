@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from steeljax.accel.dispatch import TraceTables, trace_nearest
+from steeljax.core.constants import RAY_DEAD_T
 from steeljax.render.pt import brdf as brdf_lib
 from steeljax.render.pt.integrator import _normalize
 from steeljax.render.texture import sample_bilinear, sample_trilinear
@@ -83,7 +84,7 @@ def trace_opaque(scene: FlatScene, tables: TraceTables, o, d, t_min, t_max,
         def do_retrace(rec):
             rec2 = trace_nearest(
                 tables, scene.tri_pos, scene.tri_double_sided, o, d,
-                rec["t"] + 1e-4, jnp.where(rejected, tmax, -1.0),
+                rec["t"] + 1e-4, jnp.where(rejected, tmax, RAY_DEAD_T),
                 cull_backface=True, shared_origin=True)
             return {k: jnp.where(rejected, rec2[k], rec[k]) for k in rec}
 
@@ -124,6 +125,12 @@ def generate_gbuffer(scene: FlatScene, tables: TraceTables, o, d,
         tangent = rec.get("tan", jnp.zeros_like(normal))
         uv = rec.get("uv", jnp.zeros(normal.shape[:-1] + (2,), jnp.float32))
         uv_density = rec.get("uvd", jnp.zeros_like(rec["t"]))
+        # Mip-footprint incidence from the SHADING normal: the fused
+        # kernel does not export the geometric normal (it would cost a
+        # 4th output column), so this path approximates the gather path's
+        # geometric-normal cos_inc.  Divergence is bounded by the 0.3
+        # floor and only moves texture LOD selection on smooth-shaded
+        # silhouettes (documented parity deviation).
         cos_inc = jnp.maximum(
             jnp.abs(jnp.sum(normal * d, axis=-1)), 0.3)
         flags = mrow[:, 12].astype(jnp.int32)
