@@ -20,3 +20,12 @@ a GPU command queue; hot kernels are Pallas; everything composes under `jit`.
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# fp32 everywhere (CLAUDE.md convention; parity with the reference's GLSL):
+# TPU MXU matmuls/einsums default to bf16 multiplies, which corrupts the
+# tiny camera/instance-transform matvecs (~2.5e-3 relative error — exactly
+# bf16 mantissa, measured via kernel-parity t-deltas on the instanced path).
+# Force full fp32 for every dot/einsum in the engine.
+_jax.config.update("jax_default_matmul_precision", "float32")
