@@ -27,6 +27,16 @@ from flax import struct
 
 _PAD_VALUE = 3.0e37  # padded triangles live here -> never hit
 
+# Packed-triangle row layout shared by the builders and the Pallas
+# kernels: a 128-lane VMEM row holds TRI_PER_ROW records of TRI_STRIDE
+# f32 each ([v0.xyz, e1.xyz, e2.xyz, double_sided]).  12 x 10 = 120 lanes
+# (8 pad) stores 1.6x the triangles per byte of the previous 8 x 16
+# layout — the chunk VMEM ceiling (dispatch.MAX_CHUNK_TRIS) scales with
+# it.  Leaf starts are TRI_PER_ROW-aligned so record fields sit at
+# static lane offsets (Mosaic cannot index lanes dynamically).
+TRI_PER_ROW = 12
+TRI_STRIDE = 10
+
 
 @struct.dataclass
 class BVH:
@@ -122,7 +132,8 @@ def build_bvh(tri_pos: np.ndarray, leaf_size: int = 64,
         nodes[0] = [_PAD_VALUE, _PAD_VALUE, _PAD_VALUE,
                     -_PAD_VALUE, -_PAD_VALUE, -_PAD_VALUE, 0.0, 1.0]
         return (BVH(nodes=jnp.asarray(nodes), depth=1, max_leaf=leaf_size),
-                np.zeros(0, np.int64), leaf_size)
+                np.zeros(0, np.int64),
+                -(-leaf_size // TRI_PER_ROW) * TRI_PER_ROW)
 
     if method in ("auto", "sah"):
         from steeljax.native import build_bvh_sah
@@ -136,18 +147,23 @@ def build_bvh(tri_pos: np.ndarray, leaf_size: int = 64,
             raise RuntimeError("native SAH builder unavailable")
 
     nodes, perm, depth = _build_morton(tri_pos, leaf_size)
+    # Unify on the aligned layout: Morton leaves start at multiples of
+    # leaf_size, which need not be TRI_PER_ROW-aligned.
     num_leaves = (len(nodes) + 1) // 2
-    padded = num_leaves * leaf_size
+    perm_full = np.full(num_leaves * leaf_size, -1, np.int64)
+    perm_full[:len(perm)] = perm
+    nodes, perm, padded = _align_leaves(nodes, perm_full, leaf_size)
     return (BVH(nodes=jnp.asarray(nodes), depth=depth, max_leaf=leaf_size),
             perm, padded)
 
 
 def _align_leaves(nodes: np.ndarray, perm: np.ndarray, leaf_size: int,
-                  align: int = 8) -> tuple[np.ndarray, np.ndarray, int]:
+                  align: int = TRI_PER_ROW
+                  ) -> tuple[np.ndarray, np.ndarray, int]:
     """Re-layout leaf triangle ranges so every leaf starts at a multiple of
-    `align` (the TPU kernel reads leaves as whole 128-float rows = 8
-    triangle records).  Returns (nodes, order-with-pads, padded_count)
-    where order entries of -1 denote pad slots."""
+    `align` (the TPU kernel reads leaves as whole 128-float rows of
+    TRI_PER_ROW triangle records).  Returns (nodes, order-with-pads,
+    padded_count) where order entries of -1 denote pad slots."""
     nodes = np.asarray(nodes)
     leaf_mask = nodes[:, 7] > 0
     leaf_idx = np.nonzero(leaf_mask)[0]
@@ -159,8 +175,10 @@ def _align_leaves(nodes: np.ndarray, perm: np.ndarray, leaf_size: int,
     new_starts_sorted = np.concatenate(
         [[0], np.cumsum(aligned_counts)[:-1]])
     # One extra max-size leaf of pad slack so fixed-size leaf reads
-    # (max_leaf rows) from the last leaf never run past the arrays.
-    total = int(aligned_counts.sum()) + leaf_size
+    # (max_leaf rows) from the last leaf never run past the arrays;
+    # round to whole rows so packed tables concatenate row-exactly.
+    slack = -(-leaf_size // align) * align
+    total = int(aligned_counts.sum()) + slack
 
     new_order = np.full(total, -1, np.int64)
     new_starts = np.empty(len(leaf_idx), np.int64)
@@ -210,7 +228,8 @@ class BVH8:
     """8-wide BVH: one (128,) f32 row per supernode — child c occupies
     lanes [16c, 16c+16): [min.xyz, max.xyz, meta0, meta1, pad(8)].
 
-    meta1 > 0: leaf child (meta0 = 8-aligned first triangle, meta1 = count)
+    meta1 > 0: leaf child (meta0 = TRI_PER_ROW-aligned first triangle,
+               meta1 = count)
     meta1 == 0 and meta0 >= 0: internal child (meta0 = supernode index)
     empty slots have inverted AABBs and meta0 = -1.
 
@@ -296,9 +315,9 @@ def subtree_tri_ranges(nodes: np.ndarray) -> tuple[np.ndarray, np.ndarray,
 
     The SAH builder partitions triangles in place, so every subtree owns
     a CONTIGUOUS range of the permuted arrays (bvh_builder.cpp:14-15);
-    after _align_leaves each leaf range is 8-aligned.  `hi` is the
-    exclusive row-aligned end (start + ceil(count/8)*8 of the last leaf).
-    Iterative post-order (trees reach ~10^5 nodes)."""
+    after _align_leaves each leaf range is TRI_PER_ROW-aligned.  `hi` is
+    the exclusive row-aligned end of the last leaf.  Iterative post-order
+    (trees reach ~10^5 nodes)."""
     nodes = np.asarray(nodes)
     n = len(nodes)
     count = np.zeros(n, np.int64)
@@ -313,7 +332,7 @@ def subtree_tri_ranges(nodes: np.ndarray) -> tuple[np.ndarray, np.ndarray,
             cnt = int(nodes[i, 7])
             count[i] = cnt
             lo[i] = start
-            hi[i] = start + -(-cnt // 8) * 8
+            hi[i] = start + -(-cnt // TRI_PER_ROW) * TRI_PER_ROW
         elif not expanded:
             left = int(nodes[i, 6])
             stack.append((i, True))

@@ -28,9 +28,12 @@ from steeljax.accel import pallas_traverse as ptv
 from steeljax.accel.bvh import BVH, BVH8, _morton3, build_bvh, collapse_bvh8
 from steeljax.core.constants import RAY_DEAD_T
 
-# VMEM budget per chunk: tris_packed is 64 B/tri; leave room for rays,
-# outputs, and the supernode table.
-MAX_CHUNK_TRIS = 1_200_000
+# VMEM budget per chunk: tris_packed is 42.7 B/tri (12 records per
+# 128-lane row — bvh.TRI_PER_ROW); leave room for rays, outputs, and the
+# supernode table.  The previous 8 x 16 packing (64 B/tri) capped chunks
+# at 1.2M tris; the denser rows lift the San Miguel-class stress scene
+# (1.58M tris) into a SINGLE resident chunk — no per-bounce chunk sweep.
+MAX_CHUNK_TRIS = 1_900_000
 # Streamed treelets (accel.treelets) are OPT-IN (prepare_tables
 # treelets=True): measured 16% slower than the chunk sweep at 1.3-1.6M
 # tris (0.51 vs 0.60 Mray/s end-to-end; insensitive to treelet size
@@ -246,7 +249,7 @@ def attach_shade_tables(tables: TraceTables, tri_nrm, tri_tan, tri_uv,
         # spill); otherwise keep the post-trace gather path.
         from steeljax.accel.treelets import attach_shade_stack
         tt = tables.treelets
-        per = 1 if mode == 1 else 2
+        per = 1 if mode == 1 else ptv.SHADE2_ROWS_PER_TRI_ROW
         block_bytes = 4 * 128 * (tt.node_stack.shape[1]
                                  + tt.tri_stack.shape[1] * (1 + per))
         if 2 * block_bytes > TREELET_SHADE_VMEM_BUDGET:
@@ -257,7 +260,7 @@ def attach_shade_tables(tables: TraceTables, tri_nrm, tri_tan, tri_uv,
             tri_uvd=None if tri_uvd is None else np.asarray(tri_uvd))
         treelets = attach_shade_stack(tables.treelets, packed, mode)
         return tables.replace(treelets=treelets, shade_mode=mode)
-    # The shade table shares chunk VMEM with tris_packed (+64 B/tri in
+    # The shade table shares chunk VMEM with tris_packed (+42.7 B/tri in
     # mode 1, +128 B/tri in mode 2); past BIG_CHUNK_ROWS the combined
     # footprint spills VMEM and the kernel collapses.  Huge chunks keep
     # the gather path, whose fixed ~12 ns/ray cost is small next to their
@@ -366,6 +369,7 @@ def trace_nearest(tables, tri_pos, tri_double_sided, o, d,
             if mode == 2:
                 template["tan"] = jnp.zeros((n, 3), jnp.float32)
                 template["uv"] = jnp.zeros((n, 2), jnp.float32)
+                template["uvd"] = jnp.zeros((n,), jnp.float32)
             rec = _skippable(run, any_possible, template)
         else:
             rec = run()

@@ -19,14 +19,17 @@ packets for perfectly dense VPU work, which is the right trade on this
 hardware; ray reordering between bounces recovers coherence (SURVEY.md §7).
 
 Memory layout: the triangle table is *flat-packed* into a (rows, 128) f32
-array (8 triangle records of 16 floats per row) so VMEM stores it densely
-— a (T, 16) array would pad every row to 128 lanes (8x waste).  Leaf
-starts are 8-aligned (bvh._align_leaves), so the kernel reads whole rows
-by dynamic sublane index and extracts record fields at static lane
-offsets (Mosaic cannot index lanes dynamically).  Nodes stay (N, 8) rows
-(few enough that lane padding is cheap).
+array (TRI_PER_ROW=12 triangle records of TRI_STRIDE=10 floats per row,
+8 pad lanes) so VMEM stores it densely — a (T, 10) array would pad every
+row to 128 lanes (12.8x waste), and the previous 8 x 16 packing wasted 6
+lanes per record (the chunk VMEM ceiling scales with this density: 42.7
+vs 64 B/tri).  Leaf starts are TRI_PER_ROW-aligned (bvh._align_leaves),
+so the kernel reads whole rows by dynamic sublane index and extracts
+record fields at static lane offsets (Mosaic cannot index lanes
+dynamically).  Nodes stay (N, 8) rows (few enough that lane padding is
+cheap).
 
-Triangle record (16 f32): [v0.xyz, e1.xyz, e2.xyz, double_sided, pad...]
+Triangle record (TRI_STRIDE f32): [v0.xyz, e1.xyz, e2.xyz, double_sided]
 """
 
 from __future__ import annotations
@@ -39,9 +42,18 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from steeljax.accel.bvh import BVH
+from steeljax.accel.bvh import BVH, TRI_PER_ROW, TRI_STRIDE
 
 LANES = 128
+# Fused-shading record layouts (pack_shade_records):
+#   mode 1: SHADE1_STRIDE f32/record, TRI_PER_ROW records/row (same row
+#           index as the triangle table);
+#   mode 2: SHADE2_STRIDE f32/record, SHADE2_PER_ROW records/row — three
+#           shade rows per triangle row (12 = 3 * 4).
+SHADE1_STRIDE = 10
+SHADE2_STRIDE = 26
+SHADE2_PER_ROW = 4
+SHADE2_ROWS_PER_TRI_ROW = TRI_PER_ROW // SHADE2_PER_ROW
 SUBLANES = 32  # default packet = 4096 rays: fewer scalar pops per ray
 BLOCK = LANES * SUBLANES  # rays per packet
 
@@ -53,25 +65,30 @@ BLOCK = LANES * SUBLANES  # rays per packet
 _DET_EPS = 1e-12
 
 
-def _flatten_records(records: np.ndarray) -> np.ndarray:
-    """(T, S) -> (ceil(T*S/128), 128) dense lane packing."""
-    flat = np.asarray(records, np.float32).reshape(-1)
-    rows = -(-len(flat) // LANES)
-    out = np.zeros(rows * LANES, np.float32)
-    out[:len(flat)] = flat
-    return out.reshape(rows, LANES)
+def _pack_rows(records: np.ndarray, per_row: int) -> np.ndarray:
+    """(T, S) -> (ceil(T/per_row), 128) rows: record j of a row occupies
+    lanes [S*j, S*j + S); lanes past per_row*S are zero padding."""
+    records = np.asarray(records, np.float32)
+    t, stride = records.shape
+    rows = -(-max(t, 1) // per_row)
+    padded = np.zeros((rows * per_row, stride), np.float32)
+    padded[:t] = records
+    out = np.zeros((rows, LANES), np.float32)
+    out[:, :per_row * stride] = padded.reshape(rows, per_row * stride)
+    return out
 
 
 def pack_tris(tri_pos: np.ndarray, tri_double_sided: np.ndarray) -> np.ndarray:
-    """Flat-packed triangle table: 16 f32 per triangle, 128 lanes/row."""
+    """Flat-packed triangle table: TRI_PER_ROW records of TRI_STRIDE f32
+    per 128-lane row (42.7 B/triangle of VMEM)."""
     tri_pos = np.asarray(tri_pos, np.float32)
     t = tri_pos.shape[0]
-    packed = np.zeros((t, 16), np.float32)
+    packed = np.zeros((t, TRI_STRIDE), np.float32)
     packed[:, 0:3] = tri_pos[:, 0]
     packed[:, 3:6] = tri_pos[:, 1] - tri_pos[:, 0]
     packed[:, 6:9] = tri_pos[:, 2] - tri_pos[:, 0]
     packed[:, 9] = np.asarray(tri_double_sided, np.float32)
-    return _flatten_records(packed)
+    return _pack_rows(packed, TRI_PER_ROW)
 
 
 def pack_shade_records(tri_nrm, tri_tan, tri_uv, tri_mat,
@@ -84,20 +101,22 @@ def pack_shade_records(tri_nrm, tri_tan, tri_uv, tri_mat,
     interpolates vertex attributes per candidate hit and keeps the winner
     via selects — cost independent of scene size, no gather at all.
 
-    Layouts (lane-packed like pack_tris, rows of 128 f32):
-      untextured (16 f32/record, 8 per row, same row index as tris_packed):
-        [n0.xyz, n1.xyz, n2.xyz, mat, pad x6]
-      textured (32 f32/record, 4 per row => 2 shade rows per tris row):
+    Layouts (rows of 128 f32):
+      untextured (SHADE1_STRIDE f32/record, TRI_PER_ROW per row, same row
+      index as tris_packed):
+        [n0.xyz, n1.xyz, n2.xyz, mat]
+      textured (SHADE2_STRIDE f32/record, SHADE2_PER_ROW per row => 3
+      shade rows per tris row):
         [... as above ..., t0.xyz, t1.xyz, t2.xyz,
-         uv0.xy, uv1.xy, uv2.xy, uv_density, pad x...]
+         uv0.xy, uv1.xy, uv2.xy, uv_density]
     """
     nrm = np.asarray(tri_nrm, np.float32)
     t = nrm.shape[0]
-    size = 32 if textured else 16
-    # Pad the record count to a multiple of 8 so the shade table spans
-    # exactly (size // 16) rows per tris_packed row — the kernel indexes
-    # shade rows as multiples of the tris row index.
-    t_pad = -(-max(t, 1) // 8) * 8
+    size = SHADE2_STRIDE if textured else SHADE1_STRIDE
+    # Pad the record count to a multiple of TRI_PER_ROW so the shade table
+    # spans a whole number of rows per tris_packed row — the kernel
+    # indexes shade rows as multiples of the tris row index.
+    t_pad = -(-max(t, 1) // TRI_PER_ROW) * TRI_PER_ROW
     packed = np.zeros((t_pad, size), np.float32)
     if t:
         packed[:t, 0:9] = nrm.reshape(t, 9)
@@ -109,14 +128,15 @@ def pack_shade_records(tri_nrm, tri_tan, tri_uv, tri_mat,
             packed[:t, 19:25] = uv.reshape(t, 6)
             if tri_uvd is not None:
                 packed[:t, 25] = np.asarray(tri_uvd, np.float32)
-    return _flatten_records(packed)
+    return _pack_rows(packed,
+                      SHADE2_PER_ROW if textured else TRI_PER_ROW)
 
 
 # ---------------------------------------------------------------------------
 # BVH8 kernel: 8 children per scalar pop, encoded leaf stack entries
 # ---------------------------------------------------------------------------
 
-_LEAF_BITS = 21  # tri_row index bits (supports 2^21 * 8 = 16M triangles)
+_LEAF_BITS = 21  # tri_row index bits (supports 2^21 * 12 = 25M triangles)
 
 # NOTE (measured, round 2): replacing the 8 per-child packet-min reduces
 # + Batcher sort with 4 packed-bitfield any-hit reduces and a static push
@@ -131,7 +151,8 @@ def _traverse_kernel8(*refs, max_leaf: int,
     """Packet traversal over BVH8 supernode rows (steeljax.accel.bvh.BVH8).
 
     Stack entries encode both node kinds: >= 0 is a supernode id; < 0 is a
-    leaf range enc = -(row | count << 21) - 1 with row = start // 8.
+    leaf range enc = -(row | count << 21) - 1 with row = start //
+    TRI_PER_ROW.
     One pop either slab-tests 8 children from one dense row (static lane
     extracts) or intersects one leaf's triangle rows.
 
@@ -244,7 +265,7 @@ def _traverse_kernel8(*refs, max_leaf: int,
                 # (< big) and the ordering key for near-first descent.
                 near_min = jnp.min(jnp.where(hit, near, big))
                 is_leaf_child = meta1 > 0
-                enc = (meta0 // 8) | (meta1 << _LEAF_BITS)
+                enc = (meta0 // TRI_PER_ROW) | (meta1 << _LEAF_BITS)
                 entry_val = jnp.where(is_leaf_child, -(enc + 1), meta0)
                 keys.append(jnp.where(meta0 >= 0, near_min, big))
                 vals.append(entry_val)
@@ -278,15 +299,17 @@ def _traverse_kernel8(*refs, max_leaf: int,
             cnt = enc >> _LEAF_BITS
 
             def intersect_row(r):
-                trow = tris_ref[row_base + r]  # (128,) = 8 records
+                trow = tris_ref[row_base + r]  # (128,) = TRI_PER_ROW recs
                 if shade_mode == 1:
                     srow0 = shade_ref[row_base + r]
                 elif shade_mode == 2:
-                    srow0 = shade_ref[(row_base + r) * 2]
-                    srow1 = shade_ref[(row_base + r) * 2 + 1]
-                for j in range(8):
-                    l = r * 8 + j
-                    off = 16 * j
+                    srows = [
+                        shade_ref[(row_base + r) * SHADE2_ROWS_PER_TRI_ROW
+                                  + k]
+                        for k in range(SHADE2_ROWS_PER_TRI_ROW)]
+                for j in range(TRI_PER_ROW):
+                    l = r * TRI_PER_ROW + j
+                    off = TRI_STRIDE * j
                     v0x = trow[off + 0]
                     v0y = trow[off + 1]
                     v0z = trow[off + 2]
@@ -334,13 +357,14 @@ def _traverse_kernel8(*refs, max_leaf: int,
                     bu_ref[:] = jnp.where(hit, u, bu_ref[:])
                     bv_ref[:] = jnp.where(hit, v, bv_ref[:])
                     bi_ref[:] = jnp.where(
-                        hit, row_base * 8 + jnp.int32(l), bi_ref[:])
+                        hit, row_base * TRI_PER_ROW + jnp.int32(l),
+                        bi_ref[:])
                     if shade_mode:
                         if shade_mode == 1:
                             srow, soff = srow0, off
                         else:
-                            srow = srow0 if j < 4 else srow1
-                            soff = 32 * (j % 4)
+                            srow = srows[j // SHADE2_PER_ROW]
+                            soff = SHADE2_STRIDE * (j % SHADE2_PER_ROW)
                         # Candidate-hit attribute interpolation: the
                         # barycentrics are live vectors, the record fields
                         # are scalars, so interp is 3 FMAs/component and
@@ -378,11 +402,12 @@ def _traverse_kernel8(*refs, max_leaf: int,
                             hit, srow[soff + 25], buvd_ref[:])
 
             # SAH leaves usually hold far fewer than max_leaf triangles;
-            # gate each 8-record row on the actual count so a cnt<=8 leaf
-            # pays 1/3 of the row math (row 0 always runs: cnt >= 1).
+            # gate each row on the actual count so a small leaf skips
+            # whole rows (row 0 always runs: cnt >= 1).
             intersect_row(0)
-            for r in range(1, max_leaf // 8):
-                pl.when(cnt > r * 8)(functools.partial(intersect_row, r))
+            for r in range(1, -(-max_leaf // TRI_PER_ROW)):
+                pl.when(cnt > r * TRI_PER_ROW)(
+                    functools.partial(intersect_row, r))
             if any_hit:
                 # Dead (inverted-interval) lanes count as blocked — see
                 # the binary kernel's occlusion-query note.
@@ -662,7 +687,7 @@ def _kernel8_treelet(pid_ref, *refs, max_leaf: int, cull_backface: bool,
 # Two-level kernel: instance TLAS over object-space BLAS (accel.instances)
 # ---------------------------------------------------------------------------
 
-_INST_LEAF_BITS = 19  # tri_row bits in instanced leaf encodings (4M tris)
+_INST_LEAF_BITS = 19  # tri_row bits in instanced leaf encodings (6M tris)
 
 # inst_trace row layout (accel.instances.InstancedTables.inst_trace,
 # (I, 48) f32 — a VMEM row is 128 lanes regardless, so the widening from
@@ -809,7 +834,7 @@ def _traverse_kernel8_inst(*refs, max_leaf: int, cull_backface: bool,
             near_min = jnp.min(jnp.where(hit, near, big))
             is_leaf_child = meta1 > 0
             is_inst_child = meta1 < 0
-            leaf_enc = -((((meta0 // 8)
+            leaf_enc = -((((meta0 // TRI_PER_ROW)
                            | (meta1 << _INST_LEAF_BITS)) << 1) + 1)
             inst_enc = -(((meta0 << 1) | 1) + 1)
             entry_val = jnp.where(
@@ -875,11 +900,14 @@ def _traverse_kernel8_inst(*refs, max_leaf: int, cull_backface: bool,
                     if shade_mode == 1:
                         srow0 = shade_ref[row_base + r]
                     elif shade_mode == 2:
-                        srow0 = shade_ref[(row_base + r) * 2]
-                        srow1 = shade_ref[(row_base + r) * 2 + 1]
-                    for j in range(8):
-                        l = r * 8 + j
-                        off = 16 * j
+                        srows = [
+                            shade_ref[
+                                (row_base + r) * SHADE2_ROWS_PER_TRI_ROW
+                                + k]
+                            for k in range(SHADE2_ROWS_PER_TRI_ROW)]
+                    for j in range(TRI_PER_ROW):
+                        l = r * TRI_PER_ROW + j
+                        off = TRI_STRIDE * j
                         v0x = trow[off + 0]
                         v0y = trow[off + 1]
                         v0z = trow[off + 2]
@@ -925,14 +953,15 @@ def _traverse_kernel8_inst(*refs, max_leaf: int, cull_backface: bool,
                         bu_ref[:] = jnp.where(hit, u, bu_ref[:])
                         bv_ref[:] = jnp.where(hit, v, bv_ref[:])
                         bi_ref[:] = jnp.where(
-                            hit, row_base * 8 + jnp.int32(l), bi_ref[:])
+                            hit, row_base * TRI_PER_ROW + jnp.int32(l),
+                            bi_ref[:])
                         binst_ref[:] = jnp.where(hit, inst, binst_ref[:])
                         if shade_mode:
                             if shade_mode == 1:
                                 srow, soff = srow0, off
                             else:
-                                srow = srow0 if j < 4 else srow1
-                                soff = 32 * (j % 4)
+                                srow = srows[j // SHADE2_PER_ROW]
+                                soff = SHADE2_STRIDE * (j % SHADE2_PER_ROW)
                             # Interpolate OBJECT-space attributes, rotate
                             # into world with the instance's (uniform
                             # scalar) normal matrix.  det keeps its
@@ -991,12 +1020,12 @@ def _traverse_kernel8_inst(*refs, max_leaf: int, cull_backface: bool,
                                 buvd_ref[:])
 
                 # Row gating: see the single-level kernel — leaves rarely
-                # hold max_leaf triangles, so skip whole 8-record rows
-                # beyond the actual count.
+                # hold max_leaf triangles, so skip whole rows beyond the
+                # actual count.
                 intersect_row(0)
-                for r in range(1, max_leaf // 8):
-                    pl.when(cnt > r * 8)(functools.partial(intersect_row,
-                                                           r))
+                for r in range(1, -(-max_leaf // TRI_PER_ROW)):
+                    pl.when(cnt > r * TRI_PER_ROW)(
+                        functools.partial(intersect_row, r))
                 if any_hit:
                     @pl.when(jnp.all((bi_ref[:] >= 0)
                                      | (tmx[:] < tmn[:])))

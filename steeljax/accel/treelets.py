@@ -51,7 +51,7 @@ import numpy as np
 from flax import struct
 
 from steeljax.accel import pallas_traverse as ptv
-from steeljax.accel.bvh import collapse_bvh8, subtree_tri_ranges
+from steeljax.accel.bvh import TRI_PER_ROW, collapse_bvh8, subtree_tri_ranges
 from steeljax.core.constants import RAY_DEAD_T
 
 # Target treelet size: tri table 8 MB + nodes, double-buffered by the
@@ -70,7 +70,7 @@ class TreeletTables:
     depth: int = struct.field(pytree_node=False, default=1)
     max_leaf: int = struct.field(pytree_node=False, default=24)
     shade_mode: int = struct.field(pytree_node=False, default=0)
-    # Host copy of each treelet's 8-aligned triangle range (lo, hi) —
+    # Host copy of each treelet's row-aligned triangle range (lo, hi) —
     # attach_shade_stack slices the global shade table by these.
     ranges: tuple = struct.field(pytree_node=False, default=())
 
@@ -83,7 +83,7 @@ def cut_treelets(nodes: np.ndarray, max_tris: int = TREELET_TRIS
                  ) -> tuple[list[int], np.ndarray, np.ndarray]:
     """Pick treelet roots: the shallowest nodes whose subtree holds at
     most `max_tris` triangles.  Returns (roots, range_lo, range_hi) with
-    ranges in (8-aligned) permuted-triangle units."""
+    ranges in (row-aligned) permuted-triangle units."""
     nodes = np.asarray(nodes)
     count, lo, hi = subtree_tri_ranges(nodes)
     roots: list[int] = []
@@ -106,8 +106,9 @@ def build_treelet_tables(nodes: np.ndarray, tris_packed: np.ndarray,
                          max_tris: int = TREELET_TRIS) -> TreeletTables:
     """Cut the global binary tree and stack per-treelet BVH8/tri tables.
 
-    `tris_packed` is the GLOBAL pack_tris layout (rows of 8 records);
-    treelet tri tables are row slices of it (contiguous subtree ranges).
+    `tris_packed` is the GLOBAL pack_tris layout (rows of TRI_PER_ROW
+    records); treelet tri tables are row slices of it (contiguous subtree
+    ranges).
     """
     nodes = np.asarray(nodes)
     tris_packed = np.asarray(tris_packed)
@@ -133,10 +134,11 @@ def build_treelet_tables(nodes: np.ndarray, tris_packed: np.ndarray,
     for i, r in enumerate(rows_list):
         node_stack[i, :r.shape[0]] = r
 
-    r_max = int(max((h - l) // 8 for l, h in zip(lo, hi)))
+    r_max = int(max((h - l) // TRI_PER_ROW for l, h in zip(lo, hi)))
     tri_stack = np.zeros((k, r_max, 128), np.float32)
     for i, (l, h) in enumerate(zip(lo, hi)):
-        tri_stack[i, :(h - l) // 8] = tris_packed[l // 8:h // 8]
+        tri_stack[i, :(h - l) // TRI_PER_ROW] = \
+            tris_packed[l // TRI_PER_ROW:h // TRI_PER_ROW]
 
     aabb_lo = nodes[roots, 0:3].astype(np.float32)
     aabb_hi = nodes[roots, 3:6].astype(np.float32)
@@ -156,14 +158,15 @@ def attach_shade_stack(tt: TreeletTables, shade_packed: np.ndarray,
     (same permuted order as the triangles, `per` rows per triangle row).
     Rows past each treelet's real range are padding the leaf loops never
     read (leaf row reads are count-gated)."""
-    per = 1 if shade_mode == 1 else 2
+    per = 1 if shade_mode == 1 else ptv.SHADE2_ROWS_PER_TRI_ROW
     shade_packed = np.asarray(shade_packed)
     k = tt.count
     r_max = tt.tri_stack.shape[1]
     stack = np.zeros((k, r_max * per, 128), np.float32)
     for i, (lo, hi) in enumerate(tt.ranges):
-        rows = (hi - lo) // 8 * per
-        stack[i, :rows] = shade_packed[lo // 8 * per:lo // 8 * per + rows]
+        rows = (hi - lo) // TRI_PER_ROW * per
+        srow0 = lo // TRI_PER_ROW * per
+        stack[i, :rows] = shade_packed[srow0:srow0 + rows]
     return tt.replace(shade_stack=jnp.asarray(stack),
                       shade_mode=shade_mode)
 

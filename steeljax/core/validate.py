@@ -73,9 +73,9 @@ def validate_flat_scene(flat) -> None:
 
 def validate_bvh(bvh, tri_count: int) -> None:
     """Explicit-node BVH invariants (accel.bvh format): child/leaf ranges
-    in bounds, leaf starts 8-aligned (the kernel's row-read contract),
-    child boxes contained in parents (within epsilon), every padded
-    triangle slot reachable from exactly one leaf."""
+    in bounds, leaf starts row-aligned (the kernel's row-read contract,
+    bvh.TRI_PER_ROW), child boxes contained in parents (within epsilon),
+    every padded triangle slot reachable from exactly one leaf."""
     nodes = np.asarray(bvh.nodes)
     n = nodes.shape[0]
     meta0 = nodes[:, 6].astype(np.int64)
@@ -89,8 +89,9 @@ def validate_bvh(bvh, tri_count: int) -> None:
     steel_assert(bool((meta0[leaf] >= 0).all())
                  and bool(((meta0[leaf] + meta1[leaf]) <= tri_count).all()),
                  "leaf triangle range exceeds triangle table")
-    steel_assert(bool((meta0[leaf] % 8 == 0).all()),
-                 "leaf start not 8-aligned (kernel row-read contract)")
+    from steeljax.accel.bvh import TRI_PER_ROW
+    steel_assert(bool((meta0[leaf] % TRI_PER_ROW == 0).all()),
+                 "leaf start not row-aligned (kernel row-read contract)")
     steel_assert(bool((meta1[leaf] <= bvh.max_leaf).all()),
                  "leaf count exceeds max_leaf")
     # Triangle coverage: leaves must tile [0, tri_count) without overlap.

@@ -188,8 +188,10 @@ def _total_triangles(tables) -> int:
     if isinstance(tables, InstancedTables):
         # Effective size = instances x mean BLAS size (the world the rays
         # actually traverse), not the deduplicated BLAS triangle pool.
+        from steeljax.accel.bvh import TRI_PER_ROW
         n_blas = max(len(tables.blas_tri_offset), 1)
-        mean_blas = max(tables.tris_packed.shape[0] * 8 // n_blas, 1)
+        mean_blas = max(
+            tables.tris_packed.shape[0] * TRI_PER_ROW // n_blas, 1)
         return tables.inst_trace.shape[0] * mean_blas
     return sum(c.rows for c in tables.chunks)
 

@@ -59,6 +59,37 @@ def test_chunked_matches_single():
     np.testing.assert_array_equal(occ_a, occ_b)
 
 
+def test_multichunk_fused_mode2_template():
+    """Regression: the multi-chunk lax.cond skip template must match the
+    fused shade_mode-2 record structure (incl. 'uvd'), or tracing raises a
+    pytree-structure TypeError.  Exercised abstractly (eval_shape) so the
+    Pallas path is checked without TPU hardware."""
+    import jax
+    from steeljax.accel.dispatch import attach_shade_tables
+
+    tris = _soup(64, 3)
+    ds = np.zeros(len(tris), bool)
+    tables, order, padded = prepare_tables(
+        tris, ds, leaf_size=8, max_chunk=24, use_pallas=True)
+    assert len(tables.chunks) > 1
+    nrm = np.zeros((padded, 3, 3), np.float32)
+    nrm[..., 2] = 1.0
+    tan = np.zeros((padded, 3, 3), np.float32)
+    tan[..., 0] = 1.0
+    uv = np.zeros((padded, 3, 2), np.float32)
+    mat = np.zeros((padded,), np.int32)
+    uvd = np.ones((padded,), np.float32)
+    tables = attach_shade_tables(tables, nrm, tan, uv, mat, textured=True,
+                                 tri_uvd=uvd)
+    assert tables.shade_mode == 2
+    o = jnp.zeros((16, 3), jnp.float32)
+    d = jnp.tile(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (16, 1))
+    out = jax.eval_shape(
+        lambda o, d: trace_nearest(tables, None, None, o, d, 0.001, 1000.0),
+        o, d)
+    assert set(out) >= {"t", "tri", "hit", "n", "mat", "tan", "uv", "uvd"}
+
+
 def test_chunked_render_smoke():
     """End-to-end render with forced chunking (CPU)."""
     import steeljax.accel.dispatch as dispatch

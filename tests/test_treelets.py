@@ -12,7 +12,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from steeljax.accel.bvh import build_bvh, subtree_tri_ranges
+from steeljax.accel.bvh import (TRI_PER_ROW, build_bvh,
+                                subtree_tri_ranges)
 from steeljax.accel.pallas_traverse import LANES, pack_tris
 from steeljax.accel.treelets import (build_treelet_tables, cut_treelets,
                                      trace_treelets)
@@ -41,15 +42,16 @@ def built():
 
 
 def test_cut_tiles_triangle_rows(built):
-    """Treelet ranges are disjoint, ascending, 8-aligned, and tile the
-    padded layout up to the builder's end slack."""
+    """Treelet ranges are disjoint, ascending, row-aligned, and tile
+    the padded layout up to the builder's end slack."""
     bvh, permuted, tt = built
     nodes = np.asarray(bvh.nodes)
     count, lo, hi = subtree_tri_ranges(nodes)
     roots, rlo, rhi = cut_treelets(nodes, MAX_TRIS)
     assert (count[roots] <= MAX_TRIS).all()
     assert rlo[0] == 0
-    assert (rlo % 8 == 0).all() and (rhi % 8 == 0).all()
+    assert (rlo % TRI_PER_ROW == 0).all() \
+        and (rhi % TRI_PER_ROW == 0).all()
     np.testing.assert_array_equal(rlo[1:], rhi[:-1])
     # Root subtree == union of treelets == everything below the slack.
     assert rhi[-1] == hi[0] and rlo[0] == lo[0]
@@ -75,13 +77,13 @@ def test_tables_layout(built):
     leaf = counts > 0
     r = tt.tri_stack.shape[1]
     assert (starts[leaf] >= 0).all()
-    assert (starts[leaf] + counts[leaf] <= r * 8).all()
+    assert (starts[leaf] + counts[leaf] <= r * TRI_PER_ROW).all()
 
 
 def _mock_trace(permuted, tt, block):
     """Brute-force per-packet intersector with the round kernel's
     signature: (pid, o, d, t_min, t_max) -> treelet-LOCAL record."""
-    r8 = tt.tri_stack.shape[1] * 8
+    r8 = tt.tri_stack.shape[1] * TRI_PER_ROW
     tri_dev = jnp.asarray(
         np.concatenate([permuted,
                         np.full((r8, 3, 3), 3.0e37, np.float32)]))

@@ -53,8 +53,8 @@ def test_misaligned_leaf_caught(cornell_prepared):
     bvh = tables.chunks[0].bvh
     nodes = np.asarray(bvh.nodes).copy()
     leaves = np.nonzero(nodes[:, 7] > 0)[0]
-    nodes[leaves[0], 6] += 3  # break 8-alignment
-    with pytest.raises(AssertionError, match="8-aligned|overlapping"):
+    nodes[leaves[0], 6] += 5  # break row alignment
+    with pytest.raises(AssertionError, match="row-aligned|overlapping"):
         validate.validate_bvh(bvh.replace(nodes=jnp.asarray(nodes)),
                               int(flat.tri_pos.shape[0]))
 
