@@ -1,0 +1,298 @@
+"""On-TPU kernel parity gate: every Pallas traversal variant vs the
+while_loop oracle.
+
+The Pallas kernels (accel.pallas_traverse) cannot run under interpret
+mode on CPU (eager while_loop — measured unusable), so CI covers only
+their table/encoding layer.  This script is the recorded counterpart of
+the reference's validation-layer oracle for the device path: it traces
+the same rays through
+
+  * the BVH8 packet kernel (flat, single chunk) x shade modes 0/1/2
+    x {nearest, any-hit} x {cull, no-cull} x packet sizes 32/16,
+  * the multi-chunk sweep (dispatch chunking + lax.cond skip),
+  * the two-level instanced kernel (TLAS -> BLAS) x shade 0/2 + any-hit,
+  * the streamed-treelet scheduler,
+
+and the gather-based binary while_loop traversal (accel.traverse — the
+CPU/test oracle, pure jnp so it runs on the same backend), then writes a
+JSON artifact (docs/kernel_parity.json) with per-variant max deltas.
+Run on a real TPU via the /verify recipe; the committed artifact is the
+evidence the 1,200-line kernel matches the oracle.
+
+Usage:  python -m steeljax.apps.kernel_parity [-o docs/kernel_parity.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _soup(n, seed, spread=10.0):
+    r = np.random.default_rng(seed)
+    base = r.uniform(-spread, spread, (n, 1, 3)).astype(np.float32)
+    return (base + r.normal(0, 0.6, (n, 3, 3))).astype(np.float32)
+
+
+def _rays(n, seed, spread=14.0, shared_origin=False):
+    r = np.random.default_rng(seed)
+    if shared_origin:
+        o = np.tile(r.uniform(-spread, spread, (1, 3)), (n, 1))
+    else:
+        o = r.uniform(-spread, spread, (n, 3))
+    d = r.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return o.astype(np.float32), d.astype(np.float32)
+
+
+def _interp(attr, tri, u, v):
+    """Barycentric interpolation of a (T, 3, C) per-vertex attribute."""
+    a = attr[np.maximum(tri, 0)]
+    w = (1.0 - u - v)[:, None]
+    return a[:, 0] * w + a[:, 1] * u[:, None] + a[:, 2] * v[:, None]
+
+
+def _norm(x):
+    return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-20)
+
+
+def _compare(name, rec_k, rec_o, tri_pos, results,
+             attrs=None, d=None, atol=2e-3):
+    """Record per-field max deltas between kernel and oracle records.
+
+    tri ids may legitimately differ on exact-tie hits, so geometry parity
+    is judged by |t| and the resolved hit positions, not the id."""
+    import numpy as _np
+    hk = _np.asarray(rec_k["hit"])
+    ho = _np.asarray(rec_o["hit"])
+    entry = {"rays": int(hk.shape[0]),
+             "hit_mismatches": int((hk != ho).sum()),
+             "hits": int(hk.sum())}
+    both = hk & ho
+    if both.any():
+        tk = _np.asarray(rec_k["t"])[both]
+        to = _np.asarray(rec_o["t"])[both]
+        entry["max_t_delta"] = float(_np.abs(tk - to).max())
+        same_tri = (_np.asarray(rec_k["tri"])[both]
+                    == _np.asarray(rec_o["tri"])[both])
+        entry["tri_matches_pct"] = float(same_tri.mean() * 100.0)
+        if attrs is not None:
+            # Fused-shading parity vs manual interpolation at the
+            # KERNEL's own (tri, u, v) — validates the in-kernel
+            # interpolation/select chain, independent of tie-breaks.
+            tri = _np.asarray(rec_k["tri"])
+            u = _np.asarray(rec_k["u"])
+            v = _np.asarray(rec_k["v"])
+            n_ref = _norm(_interp(attrs["nrm"], tri, u, v))
+            # Winding flip: det = dot(d, e1 x e2) sign.
+            e1 = tri_pos[_np.maximum(tri, 0), 1] - tri_pos[
+                _np.maximum(tri, 0), 0]
+            e2 = tri_pos[_np.maximum(tri, 0), 2] - tri_pos[
+                _np.maximum(tri, 0), 0]
+            det = _np.sum(_np.cross(d, e2) * e1, axis=-1)
+            n_ref = _np.where((det < 0)[:, None], -n_ref, n_ref)
+            nk = _np.asarray(rec_k["n"])
+            entry["max_normal_delta"] = float(
+                _np.abs(nk[both] - n_ref[both]).max())
+            mk = _np.asarray(rec_k["mat"])[both]
+            m_ref = attrs["mat"][_np.maximum(tri, 0)][both]
+            entry["mat_mismatches"] = int((mk != m_ref).sum())
+            if "uv" in rec_k:
+                uv_ref = _interp(attrs["uv"], tri, u, v)
+                entry["max_uv_delta"] = float(_np.abs(
+                    _np.asarray(rec_k["uv"])[both] - uv_ref[both]).max())
+    # Borderline-grazing rays may flip on fp fusion-order differences
+    # between the two programs; tolerate <= 0.02% of rays, record all.
+    ok = (entry["hit_mismatches"] <= max(2, hk.shape[0] // 5000)
+          and entry.get("max_t_delta", 0.0) < atol
+          and entry.get("max_normal_delta", 0.0) < 5e-3
+          and entry.get("mat_mismatches", 0) == 0
+          and entry.get("max_uv_delta", 0.0) < 5e-3)
+    entry["ok"] = bool(ok)
+    results[name] = entry
+    print(f"{'PASS' if ok else 'FAIL'} {name}: {entry}")
+    return ok
+
+
+def run(n_rays: int = 10240, n_tris: int = 30000) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from steeljax.accel import traverse
+    from steeljax.accel import pallas_traverse as ptv
+    from steeljax.accel.bvh import apply_permutation, build_bvh
+    from steeljax.accel.dispatch import (attach_shade_tables,
+                                         prepare_tables, trace_any,
+                                         trace_nearest)
+
+    backend = jax.default_backend()
+    results: dict = {"backend": backend, "n_rays": n_rays,
+                     "n_tris": n_tris, "variants": {}}
+    variants = results["variants"]
+    all_ok = True
+
+    tris = _soup(n_tris, 1)
+    r = np.random.default_rng(2)
+    ds = r.uniform(size=n_tris) < 0.3
+    o_np, d_np = _rays(n_rays, 3)
+    o = jnp.asarray(o_np)
+    d = jnp.asarray(d_np)
+
+    # --- flat single chunk -------------------------------------------------
+    tables, order, padded = prepare_tables(tris, ds, leaf_size=24,
+                                           use_pallas=True)
+    assert len(tables.chunks) == 1
+    perm = apply_permutation((None, order, padded), {
+        "pos": tris, "ds": ds,
+        "nrm": _norm(r.normal(size=(n_tris, 3, 3))).astype(np.float32),
+        "tan": _norm(r.normal(size=(n_tris, 3, 3))).astype(np.float32),
+        "uv": r.uniform(size=(n_tris, 3, 2)).astype(np.float32),
+        "mat": r.integers(0, 7, n_tris).astype(np.int32),
+    })
+    ppos = jnp.asarray(perm["pos"])
+    pds = jnp.asarray(perm["ds"])
+    attrs = {"nrm": perm["nrm"], "tan": perm["tan"], "uv": perm["uv"],
+             "mat": perm["mat"]}
+    oracle_tables = tables.replace(use_pallas=False)
+
+    for cull in (True, False):
+        rec_o = trace_nearest(oracle_tables, ppos, pds, o, d, 0.001, 1000.0,
+                              cull_backface=cull)
+        rec_o = {k: np.asarray(v) for k, v in rec_o.items()}
+        for subl in (32, 16):
+            rec_k = ptv.trace_nearest_packet8(
+                tables.bvh8, tables.tris_packed, o, d, 0.001, 1000.0,
+                cull_backface=cull, packet_sublanes=subl)
+            all_ok &= _compare(
+                f"flat_shade0_cull{int(cull)}_subl{subl}", rec_k, rec_o,
+                perm["pos"], variants)
+
+    # shared-origin specialization (primary/shadow batches)
+    os_np, ds_np = _rays(n_rays, 7, shared_origin=True)
+    o_sh, d_sh = jnp.asarray(os_np), jnp.asarray(ds_np)
+    rec_o = trace_nearest(oracle_tables, ppos, pds, o_sh, d_sh, 0.001,
+                          1000.0, cull_backface=True)
+    rec_k = ptv.trace_nearest_packet8(
+        tables.bvh8, tables.tris_packed, o_sh, d_sh, 0.001, 1000.0,
+        cull_backface=True, shared_origin=True)
+    all_ok &= _compare("flat_shade0_shared_origin", rec_k, rec_o,
+                       perm["pos"], variants)
+
+    # fused shade modes
+    for mode, textured in ((1, False), (2, True)):
+        t2 = attach_shade_tables(
+            tables, perm["nrm"], perm["tan"], perm["uv"], perm["mat"],
+            textured=textured)
+        assert t2.shade_mode == mode
+        rec_o = trace_nearest(oracle_tables, ppos, pds, o, d, 0.001,
+                              1000.0, cull_backface=True)
+        rec_k = trace_nearest(t2, ppos, pds, o, d, 0.001, 1000.0,
+                              cull_backface=True)
+        all_ok &= _compare(f"flat_shade{mode}", rec_k, rec_o, perm["pos"],
+                           variants, attrs=attrs, d=d_np)
+
+    # any-hit occlusion
+    occ_o = np.asarray(traverse.trace_any(tables.bvh, ppos, pds, o, d,
+                                          0.001, 40.0))
+    occ_k = np.asarray(ptv.trace_nearest_packet8(
+        tables.bvh8, tables.tris_packed, o, d, 0.001, 40.0,
+        cull_backface=False, any_hit=True)["hit"])
+    mm = int((occ_o != occ_k).sum())
+    entry = {"rays": n_rays, "hit_mismatches": mm,
+             "ok": mm <= max(2, n_rays // 5000)}
+    variants["flat_anyhit"] = entry
+    print(f"{'PASS' if entry['ok'] else 'FAIL'} flat_anyhit: {entry}")
+    all_ok &= entry["ok"]
+
+    # --- multi-chunk sweep --------------------------------------------------
+    ctables, corder, cpadded = prepare_tables(
+        tris, ds, leaf_size=24, max_chunk=n_tris // 3, use_pallas=True)
+    assert len(ctables.chunks) > 1
+    cperm = apply_permutation((None, corder, cpadded),
+                              {"pos": tris, "ds": ds})
+    rec_k = trace_nearest(ctables, None, None, o, d, 0.001, 1000.0,
+                          cull_backface=True)
+    rec_o = trace_nearest(oracle_tables, ppos, pds, o, d, 0.001, 1000.0,
+                          cull_backface=True)
+    # tri ids index different permutations across table builds: geometry
+    # parity via t only.
+    rec_k = dict(rec_k)
+    rec_k["tri"] = jnp.full_like(rec_k["tri"], -2)
+    rec_o = dict(rec_o)
+    rec_o["tri"] = jnp.full_like(rec_o["tri"], -2)
+    all_ok &= _compare("chunked_shade0", rec_k, rec_o, perm["pos"],
+                       variants)
+    occ_k = np.asarray(trace_any(ctables, None, None, o, d, 0.001, 40.0))
+    mm = int((occ_o != occ_k).sum())
+    entry = {"rays": n_rays, "hit_mismatches": mm,
+             "ok": mm <= max(2, n_rays // 5000)}
+    variants["chunked_anyhit"] = entry
+    print(f"{'PASS' if entry['ok'] else 'FAIL'} chunked_anyhit: {entry}")
+    all_ok &= entry["ok"]
+
+    # --- two-level instanced kernel ------------------------------------
+    from steeljax.accel.instances import InstancedAccel
+    from steeljax.scene.builtin import make_cornell_scene
+
+    scene = make_cornell_scene(sphere_detail=8)
+    accel_tpu = InstancedAccel(use_pallas=True)
+    accel_cpu = InstancedAccel(use_pallas=False)
+    ti = accel_tpu.prepare(scene)
+    to = accel_cpu.prepare(scene)
+    oi_np, di_np = _rays(n_rays, 11, spread=4.0)
+    oi, di = jnp.asarray(oi_np), jnp.asarray(di_np)
+    from steeljax.accel.dispatch import trace_nearest as tn
+    rec_k = tn(ti, None, None, oi, di, 0.001, 1000.0, cull_backface=True)
+    rec_o = tn(to, None, None, oi, di, 0.001, 1000.0, cull_backface=True)
+    all_ok &= _compare("instanced_fused", rec_k, rec_o, None, variants)
+    entry_k = np.asarray(trace_any(ti, None, None, oi, di, 0.001, 6.0))
+    entry_o = np.asarray(trace_any(to, None, None, oi, di, 0.001, 6.0))
+    mm = int((entry_k != entry_o).sum())
+    entry = {"rays": n_rays, "hit_mismatches": mm,
+             "ok": mm <= max(2, n_rays // 5000)}
+    variants["instanced_anyhit"] = entry
+    print(f"{'PASS' if entry['ok'] else 'FAIL'} instanced_anyhit: {entry}")
+    all_ok &= entry["ok"]
+
+    # --- streamed treelets ----------------------------------------------
+    import steeljax.accel.treelets as tl
+    ttables, torder, tpadded = prepare_tables(
+        tris, ds, leaf_size=24, use_pallas=True, treelets=True)
+    tperm = apply_permutation((None, torder, tpadded),
+                              {"pos": tris, "ds": ds})
+    tt = tl.build_treelet_tables(
+        np.asarray(ttables.bvh.nodes),
+        ptv.pack_tris(tperm["pos"], tperm["ds"]), 24, max_tris=4096)
+    rec_k = dict(tl.trace_treelets(tt, o, d, 0.001, 1000.0,
+                                   cull_backface=True))
+    rec_o = {k: np.asarray(v) for k, v in trace_nearest(
+        oracle_tables, ppos, pds, o, d, 0.001, 1000.0,
+        cull_backface=True).items()}
+    # Different permutation again: geometry parity via t only.
+    rec_k["tri"] = jnp.full_like(rec_k["tri"], -2)
+    rec_o["tri"] = np.full(n_rays, -2, np.int32)
+    all_ok &= _compare("treelets_shade0", rec_k, rec_o, None, variants)
+
+    results["all_ok"] = bool(all_ok)
+    return results
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-o", "--output", default="docs/kernel_parity.json")
+    ap.add_argument("--rays", type=int, default=10240)
+    ap.add_argument("--tris", type=int, default=30000)
+    args = ap.parse_args(argv)
+    results = run(args.rays, args.tris)
+    with open(args.output, "w") as f:
+        json.dump(results, f, indent=1)
+    print(("ALL PASS" if results["all_ok"] else "FAILURES") +
+          f" -> {args.output}")
+    return 0 if results["all_ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
