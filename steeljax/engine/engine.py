@@ -27,7 +27,7 @@ class Engine:
     def __init__(self, scene: Scene | str | Path,
                  width: int | None = None, height: int | None = None,
                  config: RenderConfig = RenderConfig(), environment=None,
-                 instancing: bool = False):
+                 instancing: bool = False, overlay: bool = False):
         if not isinstance(scene, Scene):
             from steeljax.scene import load_scene
             scene = load_scene(scene)
@@ -58,9 +58,12 @@ class Engine:
         self.bus.add_handler(EventType.RESIZE, self._on_resize)
 
         # UIRenderer analog (UIRenderer.cpp:106-125): an overlay text-
-        # binding list evaluated per frame.  Headless, the "overlay" is
-        # whatever the host does with the lines (render_cli logs them).
+        # binding list evaluated per frame.  With overlay=True the lines
+        # are BURNED into every returned frame with the built-in bitmap
+        # font (engine.overlay) — the composited imgui pass; off, the
+        # host decides what to do with the lines (render_cli logs them).
         # The default binding mirrors the reference's frame time / FPS.
+        self.overlay = overlay
         self.last_frame_seconds = 0.0
         self.text_bindings: list[Callable[[], str]] = [
             lambda: (f"Frame time: {self.last_frame_seconds * 1e3:.2f} ms "
@@ -136,6 +139,9 @@ class Engine:
         frame = self.renderer.render_frame()
         self.last_frame_seconds = time.perf_counter() - start
         self.frame_index += 1
+        if self.overlay:
+            from steeljax.engine.overlay import burn_overlay
+            frame = burn_overlay(frame, self.overlay_lines())
         self._last_frame = frame
         return frame
 

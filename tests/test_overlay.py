@@ -1,0 +1,98 @@
+"""UI overlay burn-in (UIRenderer.cpp:108-112 analog) and hybrid debug
+composition switches (Common/PBR.glsl:78-90, Common/Debug.glsl)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from steeljax.core.config import RenderConfig
+from steeljax.engine.overlay import burn_overlay, render_text_mask
+from steeljax.env.environment import load_environment
+from steeljax.env.sky import procedural_sky_cube
+from steeljax.render.hybrid.renderer import HybridRenderer
+from steeljax.render.pt.renderer import prepare_scene
+from steeljax.scene.builtin import make_cornell_scene
+
+W, H = 48, 27
+
+
+def test_text_mask_shapes_and_content():
+    mask = render_text_mask(["Frame time: 12.34 ms (81.1 FPS)"])
+    assert mask.ndim == 2 and mask.any()
+    # Distinct strings rasterize differently.
+    other = render_text_mask(["Frame time: 99.99 ms (10.0 FPS)"])
+    assert mask.shape == other.shape
+    assert (mask != other).any()
+    # Scaling doubles both extents.
+    big = render_text_mask(["AB"], scale=2)
+    small = render_text_mask(["AB"])
+    assert big.shape == (small.shape[0] * 2, small.shape[1] * 2)
+
+
+def test_burn_overlay_marks_frame():
+    frame = np.full((60, 200, 3), 0.5, np.float32)
+    out = burn_overlay(frame, ["Frame time: 1.00 ms (1000.0 FPS)"])
+    assert out.shape == frame.shape
+    assert (frame == 0.5).all()            # input untouched
+    diff = np.abs(out - frame).sum(axis=-1)
+    assert (diff > 0).sum() > 100           # text + backing visible
+    assert np.isfinite(out).all()
+    # Text pixels are white, backing is dimmed.
+    assert out.max() == 1.0
+    assert out.min() < 0.5
+
+
+def test_engine_overlay_burns_into_frames():
+    from steeljax.engine.engine import Engine
+    scene = make_cornell_scene(sphere_detail=4)
+    config = RenderConfig(width=32, height=18)
+    on = Engine(scene, 32, 18, config, overlay=True)
+    off = Engine(scene, 32, 18, config, overlay=False)
+    f_on = on.tick(0.1)
+    f_off = off.tick(0.1)
+    assert f_on.shape == f_off.shape
+    assert np.abs(f_on - f_off).max() > 0.05
+
+
+@pytest.fixture(scope="module")
+def hybrid_setup():
+    scene = make_cornell_scene(sphere_detail=4)
+    flat, tables = prepare_scene(scene, env_resolution=16)
+    from steeljax.core import camera as camera_lib
+    frame = camera_lib.make_frame(scene.camera_location,
+                                  scene.camera_projection)
+    env = load_environment(
+        cube=procedural_sky_cube(16), irradiance_resolution=4,
+        reflection_resolution=8, lut_resolution=16, lut_samples=32,
+        reflection_samples=16, irradiance_delta=0.4)
+    return scene, flat, tables, frame, env
+
+
+def _render(hybrid_setup, view):
+    scene, flat, tables, frame, env = hybrid_setup
+    r = HybridRenderer.__new__(HybridRenderer)
+    r.scene, r.width, r.height = scene, W, H
+    r.config = RenderConfig(width=W, height=H, debug_view=view)
+    r.flat, r.tables, r.env = flat, tables, env
+    r.light_volume = None
+    r.frame = frame
+    return r.render_frame()
+
+
+def test_debug_views_isolate_channels(hybrid_setup):
+    full = _render(hybrid_setup, None)
+    views = {v: _render(hybrid_setup, v)
+             for v in ("normals", "albedo", "roughness", "depth",
+                       "direct", "indirect")}
+    for name, img in views.items():
+        assert img.shape == (H, W, 3), name
+        assert np.isfinite(img).all(), name
+        assert 0.0 <= img.min() and img.max() <= 1.0, name
+        assert np.abs(img - full).max() > 0.01, name
+    # The back wall faces +Z: its normal debug color is ~(0.5, 0.5, 1).
+    center = views["normals"][H // 2, W // 2]
+    np.testing.assert_allclose(center, [0.5, 0.5, 1.0], atol=0.02)
+    # Cornell walls are rough dielectrics: the roughness view is white.
+    assert views["roughness"][H // 2, W // 2, 0] > 0.9
+    # direct + indirect both contribute to the full frame.
+    assert (views["direct"] != views["indirect"]).any()
