@@ -62,6 +62,23 @@ def main(argv=None) -> int:
                         help="run structural invariant validation on the "
                              "prepared scene/BVH (the validation-layers "
                              "analog, core.validate)")
+    parser.add_argument("--overlay", action="store_true",
+                        help="burn the frame-time/FPS text into the output "
+                             "(the UIRenderer imgui overlay, "
+                             "UIRenderer.cpp:108-112)")
+    parser.add_argument("--debug-view", default=None,
+                        choices=["normals", "albedo", "roughness",
+                                 "metallic", "occlusion", "emission",
+                                 "depth", "direct", "indirect"],
+                        help="hybrid mode: isolate one G-buffer channel or "
+                             "lighting term (Common/PBR.glsl:78-90 / "
+                             "Debug.glsl composition switches)")
+    parser.add_argument("--force-forward", action="store_true",
+                        help="route every material through the forward "
+                             "path (Config::kForceForward, Config.hpp:41)")
+    parser.add_argument("--sample-count", type=int, default=1,
+                        help="sub-samples per accumulated frame (the "
+                             "SAMPLE_COUNT shader define, RayGen.rgen)")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -96,8 +113,13 @@ def main(argv=None) -> int:
         except ValueError:
             parser.error(f"--env-color must be R,G,B, got {args.env_color!r}")
 
+    if args.debug_view and args.mode != "hybrid":
+        parser.error("--debug-view requires --mode hybrid")
     config = RenderConfig(width=width, height=height,
-                          render_to_hdr=args.hdr)
+                          render_to_hdr=args.hdr,
+                          sample_count=args.sample_count,
+                          force_forward=args.force_forward,
+                          debug_view=args.debug_view)
 
     import contextlib
 
@@ -179,8 +201,15 @@ def main(argv=None) -> int:
             from steeljax.gi.debug import overlay_probes
             image = overlay_probes(image, renderer.light_volume,
                                    renderer.frame.view_proj)
+    elapsed = time.time() - t0
+    if args.overlay:
+        from steeljax.engine.overlay import burn_overlay
+        per_frame = elapsed / max(args.spp if args.mode == "pt" else 1, 1)
+        image = burn_overlay(image, [
+            f"Frame time: {per_frame * 1e3:.2f} ms "
+            f"({1.0 / max(per_frame, 1e-9):.1f} FPS)"])
     print(f"rendered {args.mode} {width}x{height} spp={args.spp} "
-          f"in {time.time() - t0:.1f}s", file=sys.stderr)
+          f"in {elapsed:.1f}s", file=sys.stderr)
 
     write_png(args.output, image)
     print(args.output)

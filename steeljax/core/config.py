@@ -39,5 +39,17 @@ class RenderConfig:
     # this many times per segment under jit.
     max_alpha_retrace: int = 4
 
+    # Debug composition switch (Common/PBR.glsl:78-90, Common/Debug.glsl):
+    # isolate one channel/term of the hybrid frame.  One of normals,
+    # albedo, roughness, metallic, occlusion, emission, depth, direct,
+    # indirect — or None for the full composite.
+    debug_view: str | None = None
+
+    # Forward-stage blend-layer bound: the reference rasterizes every
+    # alpha-blend fragment (ForwardStage.cpp:94-104, unsorted); steeljax
+    # peels at most this many blend surfaces per pixel and composites them
+    # far-to-near (correct order, bounded under jit).
+    max_blend_layers: int = 4
+
 
 DEFAULT_CONFIG = RenderConfig()

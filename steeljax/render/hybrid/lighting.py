@@ -160,9 +160,14 @@ def compute_indirect_lighting(env: Environment, position, n, v, nov,
 def deferred_lighting(scene: FlatScene, tables: TraceTables,
                       env: Environment, gbuffer, uv, inverse_proj_view,
                       camera_position, light_volume=None,
-                      ray_tracing_enabled: bool = True):
+                      ray_tracing_enabled: bool = True,
+                      debug_view: str | None = None):
     """Lighting.comp main: unpack G-buffer -> direct + indirect + emission.
-    Returns linear HDR color (tone mapping happens at composite)."""
+    Returns linear HDR color (tone mapping happens at composite).
+
+    `debug_view` in {"direct", "indirect"} isolates one lighting term —
+    the composition switches of Common/PBR.glsl:78-90 / Debug.glsl as a
+    jit constant instead of a shader define."""
     depth = gbuffer["depth"]
     position = restore_position(depth, uv, inverse_proj_view)
 
@@ -189,4 +194,8 @@ def deferred_lighting(scene: FlatScene, tables: TraceTables,
         env, position, n, v, nov, base_color, f0, roughness, metallic,
         occlusion, light_volume)
 
+    if debug_view == "direct":
+        return direct
+    if debug_view == "indirect":
+        return indirect
     return direct + indirect + emission

@@ -26,12 +26,16 @@ from steeljax.scene.scene import Scene
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "ray_tracing_enabled"))
+    static_argnames=("width", "height", "ray_tracing_enabled",
+                     "force_forward", "max_blend_layers", "debug_view"))
 def render_hybrid_pixels(scene, tables, env: Environment,
                          inverse_view, inverse_proj, view_proj,
                          camera_near, camera_far, width: int, height: int,
                          px, py, light_volume=None,
-                         ray_tracing_enabled: bool = True):
+                         ray_tracing_enabled: bool = True,
+                         force_forward: bool = False,
+                         max_blend_layers: int = 4,
+                         debug_view: str | None = None):
     """One hybrid frame for the pixels (px, py); returns (N, 3) display
     color in [0, 1] (tone-mapped)."""
     xs = px.astype(jnp.float32)
@@ -56,33 +60,69 @@ def render_hybrid_pixels(scene, tables, env: Environment,
     # Vertical pixel spread = 2*tan(fovy/2)/H, recovered from the
     # projection: inverse_proj[1][1] = tan(fovy/2) (with the Vulkan flip).
     pixel_spread = 2.0 * jnp.abs(inverse_proj[1, 1]) / height
-    # named_scope = the EASY_BLOCK stage markers (SURVEY.md §5): each
-    # stage shows up as a labeled span in jax.profiler traces.
-    with jax.named_scope("gbuffer_stage"):
-        gbuffer = generate_gbuffer(scene, tables, origin, direction,
-                                   camera_near, camera_far, view_proj,
-                                   camera_position,
-                                   pixel_spread=pixel_spread)
+    if force_forward:
+        # kForceForward (Config.hpp:41): the G-buffer predicate excludes
+        # every material (GBufferStage.cpp:147-157), so the G-buffer and
+        # lighting stages are statically dropped and the forward stage
+        # draws everything at fragment rate.
+        n = direction.shape[0]
+        gbuffer = {"hit": jnp.zeros((n,), bool)}
+        lit = jnp.zeros((n, 3), jnp.float32)
+        opaque_t = jnp.full((n,), 1000.0, jnp.float32)
+    else:
+        # named_scope = the EASY_BLOCK stage markers (SURVEY.md §5): each
+        # stage shows up as a labeled span in jax.profiler traces.
+        with jax.named_scope("gbuffer_stage"):
+            gbuffer = generate_gbuffer(scene, tables, origin, direction,
+                                       camera_near, camera_far, view_proj,
+                                       camera_position,
+                                       pixel_spread=pixel_spread)
 
-    inverse_proj_view = jnp.einsum(
-        "ij,jk->ik", inverse_view, inverse_proj)
-    uv = jnp.stack([u, v], axis=-1)
-    with jax.named_scope("lighting_stage"):
-        lit = deferred_lighting(scene, tables, env, gbuffer, uv,
-                                inverse_proj_view, camera_position,
-                                light_volume=light_volume,
-                                ray_tracing_enabled=ray_tracing_enabled)
+        inverse_proj_view = jnp.einsum(
+            "ij,jk->ik", inverse_view, inverse_proj)
+        uv = jnp.stack([u, v], axis=-1)
+        # G-buffer channel debug views short-circuit before lighting
+        # (Common/Debug.glsl channel toggles; see RenderConfig.debug_view).
+        if debug_view in ("normals", "albedo", "roughness", "metallic",
+                          "occlusion", "emission", "depth"):
+            from steeljax.core.colors import tone_map
+            bco = gbuffer["base_color_occlusion"]
+            rm = gbuffer["rough_metal"]
+            channel = {
+                "normals": gbuffer["normal"],
+                "albedo": bco[..., :3],
+                "roughness": jnp.repeat(rm[..., 0:1], 3, axis=-1),
+                "metallic": jnp.repeat(rm[..., 1:2], 3, axis=-1),
+                "occlusion": jnp.repeat(bco[..., 3:4], 3, axis=-1),
+                "emission": tone_map(gbuffer["emission"]),
+                "depth": jnp.repeat(gbuffer["depth"][..., None] * 50.0,
+                                    3, axis=-1),
+            }[debug_view]
+            return jnp.clip(channel, 0.0, 1.0)
 
-    # Opaque hit distance for the blend-stage depth test, reconstructed
-    # from the stored depth exactly like the raster pipeline would z-test.
-    from steeljax.render.hybrid.lighting import restore_position
-    position = restore_position(gbuffer["depth"], uv, inverse_proj_view)
-    opaque_t = jnp.linalg.norm(position - origin, axis=-1)
+        with jax.named_scope("lighting_stage"):
+            lit = deferred_lighting(scene, tables, env, gbuffer, uv,
+                                    inverse_proj_view, camera_position,
+                                    light_volume=light_volume,
+                                    ray_tracing_enabled=ray_tracing_enabled,
+                                    debug_view=debug_view)
+        if debug_view in ("direct", "indirect"):
+            from steeljax.core.colors import tone_map
+            return tone_map(lit)
+
+        # Opaque hit distance for the blend-stage depth test, reconstructed
+        # from the stored depth exactly like the raster pipeline would
+        # z-test.
+        from steeljax.render.hybrid.lighting import restore_position
+        position = restore_position(gbuffer["depth"], uv, inverse_proj_view)
+        opaque_t = jnp.linalg.norm(position - origin, axis=-1)
 
     with jax.named_scope("forward_stage"):
         return forward_stage(scene, tables, env, lit, gbuffer, origin,
                              direction, opaque_t, camera_near,
-                             camera_position, ray_tracing_enabled)
+                             camera_position, ray_tracing_enabled,
+                             max_blend_layers=max_blend_layers,
+                             all_materials=force_forward)
 
 
 class HybridRenderer:
@@ -151,7 +191,10 @@ class HybridRenderer:
             self.frame.camera_near, self.frame.camera_far,
             self.width, self.height, px, py,
             light_volume=self.light_volume,
-            ray_tracing_enabled=self.config.ray_tracing_enabled)
+            ray_tracing_enabled=self.config.ray_tracing_enabled,
+            force_forward=self.config.force_forward,
+            max_blend_layers=self.config.max_blend_layers,
+            debug_view=self.config.debug_view)
         if tile is not None:
             out = detile(out, self.width, self.height, tile).reshape(-1, 3)
         return out
