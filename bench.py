@@ -119,6 +119,53 @@ def bench_stress_pt() -> None:
           total_rays / elapsed, "rays/s/chip", total_rays / elapsed / 1e8)
 
 
+def bench_foliage_pt() -> None:
+    """San Miguel's actual hard part: alpha-test foliage inside traversal.
+    1M triangles of textured leaf cards — every canopy hit runs the
+    alpha re-trace loop (integrator trace_material_ray; reference
+    AnyHit.rahit:25-52)."""
+    import jax.numpy as jnp
+
+    from steeljax.core import camera as camera_lib
+    from steeljax.core.config import RenderConfig
+    from steeljax.render.pt.integrator import render_pixels, tiled_order
+    from steeljax.render.pt.renderer import prepare_scene
+    from steeljax.scene.builtin import make_foliage_scene
+
+    width, height = 1280, 720
+    frames = 2
+
+    scene = make_foliage_scene(cards=500_000)
+    flat, tables = prepare_scene(scene, env_resolution=64)
+    tri_count = int(flat.triangle_count)
+    frame = camera_lib.make_frame(scene.camera_location,
+                                  scene.camera_projection)
+    config = RenderConfig(width=width, height=height)
+
+    px, py, _ = tiled_order(width, height)
+    inverse_view = jnp.asarray(frame.inverse_view)
+    inverse_proj = jnp.asarray(frame.inverse_proj)
+
+    def step(accum_index):
+        return render_pixels(
+            flat, tables, inverse_view, inverse_proj,
+            frame.camera_near, frame.camera_far, width, height, px, py,
+            accum_index, 0, config, return_stats=True)
+
+    result, stats = step(0)
+    result.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(frames):
+        result, stats = step(i + 1)
+    result.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    total_rays = float(stats["rays_traced"]) * frames
+
+    _emit(f"foliage_alpha_pt_rays_per_second_{tri_count}tris",
+          total_rays / elapsed, "rays/s/chip", total_rays / elapsed / 1e8)
+
+
 def bench_hybrid_1080p() -> None:
     import numpy as np
 
@@ -168,6 +215,7 @@ def bench_hybrid_1080p() -> None:
 
 CONFIGS = {
     "stress": "bench_stress_pt",
+    "foliage": "bench_foliage_pt",
     "hybrid": "bench_hybrid_1080p",
     "cornell": "bench_cornell_pt",
 }
@@ -185,7 +233,7 @@ def main() -> None:
     # degrade or crash the ones after it (measured: running the 1.5M-tri
     # stress config in-process slowed the following Cornell run 3x).
     # Headline metric LAST and never skipped.
-    for name in ("stress", "hybrid", "cornell"):
+    for name in ("stress", "foliage", "hybrid", "cornell"):
         proc = subprocess.run([sys.executable, __file__, name], check=False)
         if proc.returncode != 0 and name == "cornell":
             raise SystemExit(proc.returncode)

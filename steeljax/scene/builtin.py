@@ -196,6 +196,106 @@ def make_parity_scene(sphere_detail: int = 8) -> Scene:
     return scene
 
 
+def _leaf_texture(size: int = 128) -> np.ndarray:
+    """Procedural RGBA leaf card: green lobes with an alpha mask
+    (~45% coverage) — the San Miguel foliage pattern that makes the
+    reference's AnyHit shader (AnyHit.rahit:25-52) the hot path."""
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32) / (size - 1)
+    alpha = np.zeros((size, size), bool)
+    # Three elliptical leaflets fanning from the bottom-center stem.
+    for cx, cy, rx, ry, rot in ((0.5, 0.42, 0.16, 0.34, 0.0),
+                                (0.30, 0.55, 0.13, 0.27, 0.6),
+                                (0.70, 0.55, 0.13, 0.27, -0.6)):
+        dx, dy = x - cx, y - cy
+        u = dx * np.cos(rot) - dy * np.sin(rot)
+        v = dx * np.sin(rot) + dy * np.cos(rot)
+        alpha |= (u / rx) ** 2 + (v / ry) ** 2 < 1.0
+    # Serrated edge + midrib cut so the mask is high-frequency.
+    alpha &= ~((np.abs(x - 0.5) < 0.012) & (y < 0.45))
+    alpha &= (np.sin(x * 97.0) * np.sin(y * 83.0)) > -0.92
+    tex = np.zeros((size, size, 4), np.uint8)
+    shade = (90 + 100 * y).astype(np.uint8)
+    tex[..., 0] = 30
+    tex[..., 1] = shade
+    tex[..., 2] = 25
+    tex[..., 3] = np.where(alpha, 255, 0)
+    return tex
+
+
+def make_foliage_scene(cards: int = 500_000, region: float = 9.0,
+                       card_size: float = 0.55, seed: int = 11) -> Scene:
+    """San Miguel-class alpha-test workload: a dense canopy of randomly
+    oriented textured leaf cards (2 tris each) over a ground plane.
+    Every leaf intersection runs the alpha-test re-trace loop
+    (render/pt/integrator trace_material_ray; reference AnyHit.rahit:
+    25-52) — the actual hard part of San Miguel-style scenes, which the
+    sphere/box stress scene does not exercise."""
+    rng = np.random.default_rng(seed)
+    scene = Scene()
+    scene.textures.append(_leaf_texture())
+    scene.materials.append(Material(
+        base_color_factor=np.ones(4, np.float32),
+        base_color_texture=0, roughness_factor=0.8, metallic_factor=0.0,
+        alpha_cutoff=0.5,
+        flags=MaterialFlags.ALPHA_TEST | MaterialFlags.DOUBLE_SIDED))
+    scene.materials.append(Material(
+        base_color_factor=np.array([0.45, 0.4, 0.32, 1.0], np.float32),
+        roughness_factor=0.95, metallic_factor=0.0,
+        flags=MaterialFlags.DOUBLE_SIDED))
+
+    # One merged primitive: `cards` quads with random position/orientation
+    # inside a canopy slab (vectorized — no per-card Python entities).
+    h = card_size * 0.5
+    base = np.array([[-h, -h, 0], [h, -h, 0], [h, h, 0], [-h, h, 0]],
+                    np.float32)                                   # (4, 3)
+    axis = rng.normal(size=(cards, 3)).astype(np.float32)
+    axis /= np.linalg.norm(axis, axis=1, keepdims=True)
+    ang = rng.uniform(0, np.pi, cards).astype(np.float32)
+    c, s = np.cos(ang)[:, None, None], np.sin(ang)[:, None, None]
+    k = np.zeros((cards, 3, 3), np.float32)  # cross-product matrices
+    k[:, 0, 1], k[:, 0, 2] = -axis[:, 2], axis[:, 1]
+    k[:, 1, 0], k[:, 1, 2] = axis[:, 2], -axis[:, 0]
+    k[:, 2, 0], k[:, 2, 1] = axis[:, 1], -axis[:, 0]
+    rot = np.eye(3, dtype=np.float32)[None] + s * k + (1 - c) * (k @ k)
+    centers = np.empty((cards, 3), np.float32)
+    centers[:, 0] = rng.uniform(-region, region, cards)
+    centers[:, 2] = rng.uniform(-region, region, cards)
+    centers[:, 1] = rng.uniform(0.3, max(region * 0.65, 0.3 + 1e-6), cards)
+    pos = (base[None] @ rot.transpose(0, 2, 1) + centers[:, None])
+    nrm = np.broadcast_to(rot[:, None, :, 2], (cards, 4, 3))
+    uv = np.tile(np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32),
+                 (cards, 1))
+    quad_idx = np.array([0, 1, 2, 0, 2, 3], np.uint32)
+    idx = (quad_idx[None] + 4 * np.arange(cards, dtype=np.uint32)[:, None])
+    scene.primitives.append(Primitive.create(
+        idx.reshape(-1), pos.reshape(-1, 3).astype(np.float32),
+        np.ascontiguousarray(nrm.reshape(-1, 3), np.float32),
+        None, uv))
+    scene.primitives.append(make_quad(region * 4.0))
+
+    scene.add_entity(Entity(name="canopy", local_transform=_trs((0, 0, 0)),
+                            render_objects=[RenderObject(0, 0)]))
+    scene.add_entity(Entity(
+        name="ground",
+        local_transform=_trs((0, 0, 0), (1, 0, 0), float(np.pi / 2)),
+        render_objects=[RenderObject(1, 1)]))
+
+    sun = Entity(name="sun", local_transform=_trs((0, 0, 0), (0, 0, 1),
+                                                  -2.1))
+    sun.light = Light(type=LightType.DIRECTIONAL,
+                      color=np.array([3.0, 2.9, 2.7], np.float32))
+    scene.add_entity(sun)
+
+    scene.camera_location = camera_lib.CameraLocation(
+        position=np.array([0, region * 0.45, region * 1.6], np.float32),
+        direction=np.array([0, -0.12, -1], np.float32),
+        up=camera_lib.UP)
+    scene.camera_projection = camera_lib.CameraProjection(
+        y_fov=0.872664626, width=1.77777, height=1.0,
+        z_near=0.01, z_far=200.0)
+    return scene
+
+
 def make_stress_scene(instances: int = 400, sphere_detail: int = 24) -> Scene:
     """Cornell box populated with a grid of instanced spheres/boxes —
     a multi-million-triangle synthetic workload standing in for San Miguel
