@@ -85,8 +85,9 @@ def test_parity_scene_rmse():
     """Quantitative PT-vs-hybrid gate on a single-bounce-dominated scene
     (open ground + spheres + directional sun + sky), where split-sum IBL
     approximates MC within a few percent.  Measured 0.026 at these
-    settings; a broken BRDF normalization, shadow ray, or IBL bake moves
-    it far past 0.05."""
+    settings (the BASELINE equal-environment fidelity target is <=0.03);
+    a broken BRDF normalization, shadow ray, or IBL bake moves it far
+    past the gate."""
     from steeljax.apps.compare import rmse
     from steeljax.scene.builtin import make_parity_scene
 
@@ -103,4 +104,4 @@ def test_parity_scene_rmse():
     hy_img = HybridRenderer(scene, w, h, config, environment=env,
                             prepared=prepared).render_frame()
     value = rmse(pt_img, hy_img)
-    assert value < 0.05, f"PT/hybrid parity broke: RMSE {value:.4f}"
+    assert value < 0.033, f"PT/hybrid parity broke: RMSE {value:.4f}"

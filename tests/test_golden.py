@@ -72,8 +72,9 @@ def test_golden_cornell_interior_rmse_smoke():
     ref = _downscaled_gallery(w, h)
     value = rmse(_interior(ref, w, h), _interior(ours, w, h))
     # 6 spp measured 0.177 (mostly MC noise + surrogate-env flatness);
-    # gross regressions (camera/tone map/BRDF/emission) land > 0.3.
-    assert value < 0.25, f"interior RMSE {value:.3f} vs gallery"
+    # gross regressions (camera/tone map/BRDF/emission) land > 0.3, and a
+    # 5% brightness or BRDF-normalization drift moves this past 0.21.
+    assert value < 0.21, f"interior RMSE {value:.3f} vs gallery"
 
 
 @pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
@@ -87,7 +88,7 @@ def test_golden_cornell_interior_rmse_full():
     value = rmse(_interior(ref, w, h), _interior(ours, w, h))
     # Measured 0.131 at 48 spp (240x136); see docs/golden/README.md for
     # the residual decomposition (noise + directional env structure).
-    assert value < 0.18, f"interior RMSE {value:.3f} vs gallery"
+    assert value < 0.155, f"interior RMSE {value:.3f} vs gallery"
 
 
 HYBRID_GALLERY = REFERENCE / "Gallery/Images/CornellBox_Hybrid.png"
@@ -131,6 +132,7 @@ def test_golden_cornell_hybrid_interior_rmse_smoke():
     ref = np.asarray(img, np.float64) / 255.0
     value = rmse(_interior(ref, w, h), _interior(ours, w, h))
     # Measured 0.0999 (surrogate-env flatness dominates, same as the
-    # documented 480p measurement); gross regressions (G-buffer,
-    # lighting, tone map) land > 0.3.
-    assert value < 0.25, f"hybrid interior RMSE {value:.3f} vs gallery"
+    # documented 480p measurement); deterministic, so the gate sits 25%
+    # over the measurement — a 5% brightness drift or a broken lighting
+    # term lands past it.
+    assert value < 0.125, f"hybrid interior RMSE {value:.3f} vs gallery"
