@@ -6,19 +6,30 @@ Configs (headline LAST so single-line parsers pick it up):
    San Miguel-class target (>= 1e8 rays/s/chip).  The reference checkout
    ships no large scene geometry (Assets/Scenes/Sponza/Sponza.bin is
    absent upstream), so the workload is the procedural stress scene:
-   the Cornell box packed with instanced spheres/boxes (~1.3M tris,
-   2 BVH chunks — exercises the chunked dispatch + per-ray chunk
-   pre-cull).
-2. hybrid_1080p_ms_per_frame — G-buffer + deferred PBR lighting + ray
+   the Cornell box packed with instanced spheres/boxes.
+2. stress_tex_pt_rays_per_second — the same geometry with textured
+   materials (opaque): uv interpolation + bilinear atlas sampling at
+   full scene scale, quantifying the textured-shading cost next to 1.
+3. foliage_alpha_pt_rays_per_second — alpha-test foliage (the San Miguel
+   hard part): in-kernel coverage masks + the exact bounded re-trace.
+4. hybrid_1080p_ms_per_frame — G-buffer + deferred PBR lighting + ray
    shadows + forward/env composite at 1920x1080 on a Sponza-class
    triangle count with a directional light.  BASELINE.md names no
    number; vs_baseline is reported against a 30 FPS frame budget
    (33.3 ms).
-3. cornell_pt_rays_per_second — the reference's default workload
+5. kernel_parity — regenerates docs/kernel_parity.json on this chip and
+   FAILS the bench run on any variant mismatch, so every driver BENCH
+   capture is also a kernel-correctness capture (the always-on
+   validation-layer analog, reference Private/Instance.cpp:59-70).
+6. cornell_pt_rays_per_second — the reference's default workload
    (CornellBox @ 1280x720, Config.hpp:13,19), 1 spp/frame, <= 4 bounces,
    RR after 2, clamp 8 (RayGen.rgen:18-23).  Ray counts come from
    in-kernel telemetry (every traced segment), not an estimate.
    Baseline 1e8 rays/s/chip.
+
+Triangle counts in metric names are REAL (pre-padding) triangle counts;
+the BVH row-alignment padding (bvh._align_leaves) is an implementation
+detail that previously inflated cross-round labels (ADVICE r3).
 """
 
 from __future__ import annotations
@@ -32,8 +43,53 @@ def _emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
                       "vs_baseline": vs_baseline}), flush=True)
 
 
+def _real_tris(flat) -> int:
+    """Count non-pad triangles (pad slots park at _PAD_VALUE)."""
+    import numpy as np
+    return int((np.asarray(flat.tri_pos)[:, 0, 0] < 3.0e36).sum())
+
+
+def _bench_pt(scene, metric_prefix: str, frames: int = 2) -> None:
+    """Shared PT bench body: prepare, warm, time `frames` 1-spp frames."""
+    import jax.numpy as jnp
+
+    from steeljax.core import camera as camera_lib
+    from steeljax.core.config import RenderConfig
+    from steeljax.render.pt.integrator import render_pixels, tiled_order
+    from steeljax.render.pt.renderer import prepare_scene
+
+    width, height = 1280, 720
+    flat, tables = prepare_scene(scene, env_resolution=64)
+    tri_count = _real_tris(flat)
+    frame = camera_lib.make_frame(scene.camera_location,
+                                  scene.camera_projection)
+    config = RenderConfig(width=width, height=height)
+
+    px, py, _ = tiled_order(width, height)
+    inverse_view = jnp.asarray(frame.inverse_view)
+    inverse_proj = jnp.asarray(frame.inverse_proj)
+
+    def step(accum_index):
+        return render_pixels(
+            flat, tables, inverse_view, inverse_proj,
+            frame.camera_near, frame.camera_far, width, height, px, py,
+            accum_index, 0, config, return_stats=True)
+
+    result, stats = step(0)
+    result.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(frames):
+        result, stats = step(i + 1)
+    result.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    total_rays = float(stats["rays_traced"]) * frames
+
+    _emit(f"{metric_prefix}_{tri_count}tris", total_rays / elapsed,
+          "rays/s/chip", total_rays / elapsed / 1e8)
+
+
 def bench_cornell_pt() -> None:
-    import jax
     import jax.numpy as jnp
 
     from steeljax.core import camera as camera_lib
@@ -76,94 +132,30 @@ def bench_cornell_pt() -> None:
 
 
 def bench_stress_pt() -> None:
-    import jax
-    import jax.numpy as jnp
-
-    from steeljax.core import camera as camera_lib
-    from steeljax.core.config import RenderConfig
-    from steeljax.render.pt.integrator import render_pixels, tiled_order
-    from steeljax.render.pt.renderer import prepare_scene
     from steeljax.scene.builtin import make_stress_scene
+    _bench_pt(make_stress_scene(instances=480, sphere_detail=32),
+              "stress_pt_rays_per_second")
 
-    width, height = 1280, 720
-    frames = 2
 
-    scene = make_stress_scene(instances=480, sphere_detail=32)
-    flat, tables = prepare_scene(scene, env_resolution=64)
-    tri_count = int(flat.triangle_count)
-    frame = camera_lib.make_frame(scene.camera_location,
-                                  scene.camera_projection)
-    config = RenderConfig(width=width, height=height)
-
-    px, py, _ = tiled_order(width, height)
-    inverse_view = jnp.asarray(frame.inverse_view)
-    inverse_proj = jnp.asarray(frame.inverse_proj)
-
-    def step(accum_index):
-        return render_pixels(
-            flat, tables, inverse_view, inverse_proj,
-            frame.camera_near, frame.camera_far, width, height, px, py,
-            accum_index, 0, config, return_stats=True)
-
-    result, stats = step(0)
-    result.block_until_ready()
-
-    t0 = time.perf_counter()
-    for i in range(frames):
-        result, stats = step(i + 1)
-    result.block_until_ready()
-    elapsed = time.perf_counter() - t0
-    total_rays = float(stats["rays_traced"]) * frames
-
-    _emit(f"stress_pt_rays_per_second_{tri_count}tris",
-          total_rays / elapsed, "rays/s/chip", total_rays / elapsed / 1e8)
+def bench_stress_tex_pt() -> None:
+    """Textured-opaque large scene: the same 1.7M-tri geometry with a
+    base-color texture on the instanced materials, exercising uv
+    interpolation + bilinear atlas sampling (shade path) at scale —
+    quantifies the textured-shading cost next to bench_stress_pt."""
+    from steeljax.scene.builtin import make_stress_scene
+    _bench_pt(make_stress_scene(instances=480, sphere_detail=32,
+                                textured=True),
+              "stress_tex_pt_rays_per_second")
 
 
 def bench_foliage_pt() -> None:
-    """San Miguel's actual hard part: alpha-test foliage inside traversal.
-    1M triangles of textured leaf cards — every canopy hit runs the
-    alpha re-trace loop (integrator trace_material_ray; reference
-    AnyHit.rahit:25-52)."""
-    import jax.numpy as jnp
-
-    from steeljax.core import camera as camera_lib
-    from steeljax.core.config import RenderConfig
-    from steeljax.render.pt.integrator import render_pixels, tiled_order
-    from steeljax.render.pt.renderer import prepare_scene
+    """San Miguel's actual hard part: alpha-test foliage.  Traversal
+    rejects provably-transparent hits via in-kernel coverage masks
+    (accel.alphamask; reference AnyHit.rahit:25-52) and the integrator's
+    bounded re-trace resolves boundary cells exactly."""
     from steeljax.scene.builtin import make_foliage_scene
-
-    width, height = 1280, 720
-    frames = 2
-
-    scene = make_foliage_scene(cards=500_000)
-    flat, tables = prepare_scene(scene, env_resolution=64)
-    tri_count = int(flat.triangle_count)
-    frame = camera_lib.make_frame(scene.camera_location,
-                                  scene.camera_projection)
-    config = RenderConfig(width=width, height=height)
-
-    px, py, _ = tiled_order(width, height)
-    inverse_view = jnp.asarray(frame.inverse_view)
-    inverse_proj = jnp.asarray(frame.inverse_proj)
-
-    def step(accum_index):
-        return render_pixels(
-            flat, tables, inverse_view, inverse_proj,
-            frame.camera_near, frame.camera_far, width, height, px, py,
-            accum_index, 0, config, return_stats=True)
-
-    result, stats = step(0)
-    result.block_until_ready()
-
-    t0 = time.perf_counter()
-    for i in range(frames):
-        result, stats = step(i + 1)
-    result.block_until_ready()
-    elapsed = time.perf_counter() - t0
-    total_rays = float(stats["rays_traced"]) * frames
-
-    _emit(f"foliage_alpha_pt_rays_per_second_{tri_count}tris",
-          total_rays / elapsed, "rays/s/chip", total_rays / elapsed / 1e8)
+    _bench_pt(make_foliage_scene(cards=500_000),
+              "foliage_alpha_pt_rays_per_second")
 
 
 def bench_hybrid_1080p() -> None:
@@ -213,10 +205,28 @@ def bench_hybrid_1080p() -> None:
     _emit("hybrid_1080p_ms_per_frame", ms, "ms/frame", 33.33 / ms)
 
 
+def bench_kernel_parity() -> None:
+    """Regenerate the on-chip kernel-parity artifact as part of every
+    bench capture (self-renewing gate: a kernel regression fails the
+    bench run instead of shipping behind a stale-green artifact)."""
+    from steeljax.apps.kernel_parity import run
+
+    results = run()
+    n_ok = sum(1 for v in results["variants"].values() if v.get("ok"))
+    with open("docs/kernel_parity.json", "w") as f:
+        json.dump(results, f, indent=1)
+    _emit("kernel_parity_variants_ok", float(n_ok), "variants",
+          n_ok / max(len(results["variants"]), 1))
+    if not results["all_ok"]:
+        raise SystemExit(1)
+
+
 CONFIGS = {
     "stress": "bench_stress_pt",
+    "stress_tex": "bench_stress_tex_pt",
     "foliage": "bench_foliage_pt",
     "hybrid": "bench_hybrid_1080p",
+    "parity": "bench_kernel_parity",
     "cornell": "bench_cornell_pt",
 }
 
@@ -232,11 +242,18 @@ def main() -> None:
     # Each config runs in its own process: a heavy config must not
     # degrade or crash the ones after it (measured: running the 1.5M-tri
     # stress config in-process slowed the following Cornell run 3x).
-    # Headline metric LAST and never skipped.
-    for name in ("stress", "foliage", "hybrid", "cornell"):
+    # Headline metric LAST and never skipped; a parity failure fails the
+    # whole run (rc != 0) BEFORE the headline prints.
+    rc = 0
+    for name in ("stress", "stress_tex", "foliage", "hybrid", "parity",
+                 "cornell"):
         proc = subprocess.run([sys.executable, __file__, name], check=False)
+        if proc.returncode != 0 and name in ("parity", "cornell"):
+            rc = proc.returncode
         if proc.returncode != 0 and name == "cornell":
             raise SystemExit(proc.returncode)
+    if rc:
+        raise SystemExit(rc)
 
 
 if __name__ == "__main__":

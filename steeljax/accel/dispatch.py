@@ -62,6 +62,11 @@ class ChunkTables:
     # Fused-shading records (pack_shade_records), chunk-local; None until
     # attach_shade_tables is called.
     shade_packed: jnp.ndarray | None = None
+    # Chunk-local conservative alpha-coverage masks (accel.alphamask),
+    # (rows,) uint32: consumed by the CPU oracle path; the Pallas kernel
+    # reads the same bits from the AUX lane of tris_packed.  Host numpy on
+    # the TPU path (jit prunes unused args — never uploaded).
+    tri_mask: jnp.ndarray | None = None
     row_offset: int = struct.field(pytree_node=False, default=0)
     rows: int = struct.field(pytree_node=False, default=0)
     # Chunk AABB (static floats) for the per-ray pre-cull.
@@ -81,6 +86,10 @@ class TraceTables:
     # 0 = trace only; 1 = fuse (normal, mat id) into the kernel;
     # 2 = also (tangent, uv).  See pallas_traverse.pack_shade_records.
     shade_mode: int = struct.field(pytree_node=False, default=0)
+    # Triangle records carry AUX-encoded alpha-coverage masks
+    # (prepare_tables tri_alpha_mask): traversal rejects provably-
+    # transparent candidates in-kernel (AnyHit.rahit:25-52 analog).
+    alpha_masked: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def bvh(self) -> BVH:  # convenience for single-chunk callers
@@ -105,7 +114,8 @@ def backend_is_tpu() -> bool:
 def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
                    max_chunk: int | None = None,
                    use_pallas: bool | None = None, method: str = "auto",
-                   treelets: bool | None = None
+                   treelets: bool | None = None,
+                   tri_alpha_mask: np.ndarray | None = None
                    ) -> tuple["TraceTables", np.ndarray, int]:
     """Build (possibly chunked) acceleration tables.
 
@@ -116,6 +126,13 @@ def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
     `treelets=True` builds the streamed-treelet tables instead of the
     chunk sweep (see the note above TraceTables.treelets); the default
     comes from the STEELJAX_TREELETS env var (off).
+
+    `tri_alpha_mask` ((T,) uint32, accel.alphamask.compute_alpha_masks)
+    bakes conservative alpha-coverage bits into the triangle records so
+    traversal rejects sub-cutoff alpha-test hits without leaving the
+    kernel (the reference's any-hit shader, AnyHit.rahit:25-52); the
+    integrator's exact bounded re-trace remains the authority for
+    boundary cells.
     """
     if treelets is None:
         import os
@@ -127,9 +144,15 @@ def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
     tri_pos = np.asarray(tri_pos, np.float32)
     ds = np.asarray(tri_double_sided)
     count = len(tri_pos)
+    from steeljax.accel.alphamask import MASK_FULL
+    mask = (None if tri_alpha_mask is None
+            else np.asarray(tri_alpha_mask, np.uint32))
+    if mask is not None and count and int(mask.min()) == MASK_FULL:
+        mask = None  # every triangle fully covered: masking is a no-op
 
     if treelets and use_pallas:
-        return _prepare_treelet_tables(tri_pos, ds, leaf_size, method)
+        return _prepare_treelet_tables(tri_pos, ds, leaf_size, method,
+                                       tri_alpha_mask=mask)
 
     if count <= max_chunk:
         pieces = [np.arange(count, dtype=np.int64)]
@@ -159,10 +182,16 @@ def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
         order_parts.append(global_part)
         permuted_pos = np.full((padded, 3, 3), 3.0e37, np.float32)
         permuted_ds = np.zeros(padded, bool)
+        permuted_mask = (np.zeros(padded, np.uint32)
+                         if mask is not None else None)
         if len(sub_order):
             real = sub_order >= 0
             permuted_pos[np.nonzero(real)[0]] = sub_pos[sub_order[real]]
             permuted_ds[np.nonzero(real)[0]] = sub_ds[sub_order[real]]
+            if mask is not None:
+                sub_mask = mask[piece] if count else mask
+                permuted_mask[np.nonzero(real)[0]] = \
+                    sub_mask[sub_order[real]]
         rows8, depth8 = collapse_bvh8(np.asarray(bvh.nodes), leaf_size)
         if len(piece):
             real_pos = sub_pos.reshape(-1, 3)
@@ -174,18 +203,25 @@ def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
             bvh=bvh,
             bvh8=BVH8(rows=jnp.asarray(rows8), depth=depth8,
                       max_leaf=leaf_size),
-            tris_packed=jnp.asarray(ptv.pack_tris(permuted_pos,
-                                                  permuted_ds)),
+            tris_packed=jnp.asarray(
+                ptv.pack_tris(permuted_pos, permuted_ds,
+                              tri_alpha_mask=permuted_mask)),
+            tri_mask=(None if permuted_mask is None
+                      else (permuted_mask if use_pallas
+                            else jnp.asarray(permuted_mask.astype(
+                                np.int32)))),
             row_offset=offset, rows=padded, aabb=(lo, hi)))
         offset += padded
 
     global_order = (np.concatenate(order_parts) if order_parts
                     else np.zeros(0, np.int64))
-    tables = TraceTables(chunks=tuple(chunks), use_pallas=bool(use_pallas))
+    tables = TraceTables(chunks=tuple(chunks), use_pallas=bool(use_pallas),
+                         alpha_masked=mask is not None)
     return tables, global_order, offset
 
 
-def _prepare_treelet_tables(tri_pos, ds, leaf_size: int, method: str
+def _prepare_treelet_tables(tri_pos, ds, leaf_size: int, method: str,
+                            tri_alpha_mask: np.ndarray | None = None
                             ) -> tuple["TraceTables", np.ndarray, int]:
     """One global SAH BVH cut into streamed treelets (accel.treelets).
 
@@ -196,19 +232,28 @@ def _prepare_treelet_tables(tri_pos, ds, leaf_size: int, method: str
     bvh, order, padded = build_bvh(tri_pos, leaf_size, method)
     permuted_pos = np.full((padded, 3, 3), 3.0e37, np.float32)
     permuted_ds = np.zeros(padded, bool)
+    permuted_mask = (np.zeros(padded, np.uint32)
+                     if tri_alpha_mask is not None else None)
     real = order >= 0
     permuted_pos[np.nonzero(real)[0]] = tri_pos[order[real]]
     permuted_ds[np.nonzero(real)[0]] = ds[order[real]]
-    packed = ptv.pack_tris(permuted_pos, permuted_ds)  # host numpy
+    if tri_alpha_mask is not None:
+        permuted_mask[np.nonzero(real)[0]] = tri_alpha_mask[order[real]]
+    packed = ptv.pack_tris(permuted_pos, permuted_ds,
+                           tri_alpha_mask=permuted_mask)  # host numpy
     treelets = build_treelet_tables(np.asarray(bvh.nodes), packed,
                                     leaf_size)
+    if tri_alpha_mask is not None:
+        treelets = treelets.replace(alpha_mask=True)
     real_pos = tri_pos.reshape(-1, 3)
     aabb = (tuple(float(v) for v in real_pos.min(axis=0)),
             tuple(float(v) for v in real_pos.max(axis=0)))
     chunk = ChunkTables(bvh=bvh, bvh8=None, tris_packed=None,
+                        tri_mask=permuted_mask,
                         row_offset=0, rows=padded, aabb=aabb)
     tables = TraceTables(chunks=(chunk,), treelets=treelets,
-                         use_pallas=True)
+                         use_pallas=True,
+                         alpha_masked=tri_alpha_mask is not None)
     return tables, order, padded
 
 
@@ -350,11 +395,13 @@ def trace_nearest(tables, tri_pos, tri_double_sided, o, d,
                     chunk.bvh8, chunk.tris_packed, o, d, t_min, chunk_tmax,
                     cull_backface=cull_backface, packet_sublanes=subl,
                     shade_rows=chunk.shade_packed, shade_mode=mode,
-                    shared_origin=shared_origin)
+                    shared_origin=shared_origin,
+                    alpha_mask=tables.alpha_masked)
             return traverse.trace_nearest(
                 chunk.bvh, _chunk_slice(tri_pos, chunk),
                 _chunk_slice(tri_double_sided, chunk), o, d, t_min,
-                chunk_tmax, cull_backface=cull_backface)
+                chunk_tmax, cull_backface=cull_backface,
+                tri_alpha_mask=chunk.tri_mask)
 
         if multi:
             n = o.shape[0]
@@ -418,11 +465,12 @@ def trace_any(tables, tri_pos, tri_double_sided, o, d,
             if tables.use_pallas:
                 return ptv.trace_nearest_packet8(
                     chunk.bvh8, chunk.tris_packed, o, d, t_min, chunk_tmax,
-                    cull_backface=False, any_hit=True)["hit"]
+                    cull_backface=False, any_hit=True,
+                    alpha_mask=tables.alpha_masked)["hit"]
             return traverse.trace_any(
                 chunk.bvh, _chunk_slice(tri_pos, chunk),
                 _chunk_slice(tri_double_sided, chunk), o, d, t_min,
-                chunk_tmax)
+                chunk_tmax, tri_alpha_mask=chunk.tri_mask)
 
         if multi:
             hit = _skippable(run, any_possible,

@@ -42,6 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from steeljax.accel import alphamask
 from steeljax.accel.bvh import BVH, TRI_PER_ROW, TRI_STRIDE
 
 LANES = 128
@@ -78,16 +79,29 @@ def _pack_rows(records: np.ndarray, per_row: int) -> np.ndarray:
     return out
 
 
-def pack_tris(tri_pos: np.ndarray, tri_double_sided: np.ndarray) -> np.ndarray:
+def pack_tris(tri_pos: np.ndarray, tri_double_sided: np.ndarray,
+              tri_alpha_mask: np.ndarray | None = None) -> np.ndarray:
     """Flat-packed triangle table: TRI_PER_ROW records of TRI_STRIDE f32
-    per 128-lane row (42.7 B/triangle of VMEM)."""
+    per 128-lane row (42.7 B/triangle of VMEM).
+
+    Without masks, lane 9 of a record is the double-sided flag as a plain
+    0/1 float.  With `tri_alpha_mask` ((T,) uint32, accel.alphamask) the
+    lane becomes the AUX encoding `ds | mask << 1` stored as an exact
+    integer-valued float (<= 2^22), and the kernel must be built with
+    alpha_mask=True to decode it — the in-kernel analog of the reference's
+    any-hit alpha rejection (AnyHit.rahit:25-52)."""
     tri_pos = np.asarray(tri_pos, np.float32)
     t = tri_pos.shape[0]
     packed = np.zeros((t, TRI_STRIDE), np.float32)
     packed[:, 0:3] = tri_pos[:, 0]
     packed[:, 3:6] = tri_pos[:, 1] - tri_pos[:, 0]
     packed[:, 6:9] = tri_pos[:, 2] - tri_pos[:, 0]
-    packed[:, 9] = np.asarray(tri_double_sided, np.float32)
+    ds = np.asarray(tri_double_sided).astype(np.uint32)
+    if tri_alpha_mask is None:
+        packed[:, 9] = ds.astype(np.float32)
+    else:
+        aux = ds | (np.asarray(tri_alpha_mask, np.uint32) << 1)
+        packed[:, 9] = aux.astype(np.float32)  # exact: < 2^22
     return _pack_rows(packed, TRI_PER_ROW)
 
 
@@ -147,7 +161,8 @@ _LEAF_BITS = 21  # tri_row index bits (supports 2^21 * 12 = 25M triangles)
 
 def _traverse_kernel8(*refs, max_leaf: int,
                       cull_backface: bool, any_hit: bool = False,
-                      shade_mode: int = 0, shared_origin: bool = False):
+                      shade_mode: int = 0, shared_origin: bool = False,
+                      alpha_mask: bool = False):
     """Packet traversal over BVH8 supernode rows (steeljax.accel.bvh.BVH8).
 
     Stack entries encode both node kinds: >= 0 is a supernode id; < 0 is a
@@ -319,7 +334,16 @@ def _traverse_kernel8(*refs, max_leaf: int,
                     e2x = trow[off + 6]
                     e2y = trow[off + 7]
                     e2z = trow[off + 8]
-                    ds = trow[off + 9]
+                    if alpha_mask:
+                        # AUX lane (pack_tris with masks): bit 0 = double-
+                        # sided, bits [1, 22) = the conservative alpha-
+                        # coverage mask (accel.alphamask).  Exact integer-
+                        # valued float, so the scalar cast is lossless.
+                        aux = trow[off + 9].astype(jnp.int32)
+                        ds_flag = (aux & 1) == 1
+                        amask = aux >> 1
+                    else:
+                        ds_flag = trow[off + 9] > 0.5
 
                     px = d_y * e2z - d_z * e2y
                     py = d_z * e2x - d_x * e2z
@@ -327,7 +351,7 @@ def _traverse_kernel8(*refs, max_leaf: int,
                     det = e1x * px + e1y * py + e1z * pz
                     if cull_backface:
                         facing = (det > _DET_EPS) | (
-                            (ds > 0.5) & (jnp.abs(det) > _DET_EPS))
+                            ds_flag & (jnp.abs(det) > _DET_EPS))
                     else:
                         facing = jnp.abs(det) > _DET_EPS
                     inv_det = 1.0 / jnp.where(
@@ -344,6 +368,15 @@ def _traverse_kernel8(*refs, max_leaf: int,
                     hit = (facing & (u >= 0.0) & (v >= 0.0)
                            & (u + v <= 1.0) & (t >= tmn[:])
                            & (t <= bt_ref[:]) & (l < cnt))
+                    if alpha_mask:
+                        # In-kernel any-hit alpha rejection (AnyHit.rahit:
+                        # 25-52): drop candidates whose barycentric cell
+                        # is provably below the cutoff, so transparent
+                        # texels never win the nearest-hit select and the
+                        # integrator re-trace runs only for boundary
+                        # cells.  ~12 extra VPU ops; the mask shift rides
+                        # the scalar broadcast of aux.
+                        hit = hit & alphamask.mask_test(amask, u, v)
                     if any_hit:
                         # Occlusion query: ANY hit finishes the lane, so
                         # sink its best-t to -inf — the lane then fails
@@ -449,13 +482,15 @@ def _traverse_kernel8(*refs, max_leaf: int,
 @functools.partial(
     jax.jit,
     static_argnames=("max_leaf", "depth", "cull_backface", "any_hit",
-                     "packet_sublanes", "shade_mode", "shared_origin"))
+                     "packet_sublanes", "shade_mode", "shared_origin",
+                     "alpha_mask"))
 def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
                    max_leaf: int, depth: int,
                    cull_backface: bool, any_hit: bool = False,
                    packet_sublanes: int = SUBLANES,
                    shade_rows: jnp.ndarray | None = None,
-                   shade_mode: int = 0, shared_origin: bool = False):
+                   shade_mode: int = 0, shared_origin: bool = False,
+                   alpha_mask: bool = False):
     count = o.shape[0]
     block = LANES * packet_sublanes
     padded = -(-count // block) * block
@@ -484,7 +519,8 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
     kernel = functools.partial(
         _traverse_kernel8, max_leaf=max_leaf,
         cull_backface=cull_backface, any_hit=any_hit,
-        shade_mode=shade_mode, shared_origin=shared_origin)
+        shade_mode=shade_mode, shared_origin=shared_origin,
+        alpha_mask=alpha_mask)
 
     f32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     i32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
@@ -549,18 +585,22 @@ def trace_nearest_packet8(bvh8, tris_packed, o, d, t_min, t_max,
                           any_hit: bool = False,
                           packet_sublanes: int = SUBLANES,
                           shade_rows=None, shade_mode: int = 0,
-                          shared_origin: bool = False):
+                          shared_origin: bool = False,
+                          alpha_mask: bool = False):
     """BVH8 packet traversal; same contract as traverse.trace_nearest.
     With shade_mode > 0 (and shade_rows from pack_shade_records) the
     record also carries fused shading attributes: "n" + "mat" (mode 1),
-    plus "tan" + "uv" (mode 2)."""
+    plus "tan" + "uv" (mode 2).  alpha_mask=True decodes the AUX lane's
+    conservative coverage mask (tris_packed must have been packed with
+    tri_alpha_mask) and rejects sub-cutoff candidates in-kernel."""
     return _trace_packed8(bvh8.rows, tris_packed, o, d,
                           jnp.asarray(t_min, jnp.float32),
                           jnp.asarray(t_max, jnp.float32),
                           bvh8.max_leaf, bvh8.depth, cull_backface, any_hit,
                           packet_sublanes=packet_sublanes,
                           shade_rows=shade_rows, shade_mode=shade_mode,
-                          shared_origin=shared_origin)
+                          shared_origin=shared_origin,
+                          alpha_mask=alpha_mask)
 
 
 # ---------------------------------------------------------------------------
@@ -570,12 +610,13 @@ def trace_nearest_packet8(bvh8, tris_packed, o, d, t_min, t_max,
 @functools.partial(
     jax.jit,
     static_argnames=("max_leaf", "depth", "cull_backface", "any_hit",
-                     "packet_sublanes", "shade_mode"))
+                     "packet_sublanes", "shade_mode", "alpha_mask"))
 def _trace_packed8_treelet(node_stack, tri_stack, pid, o, d, tmn, tmx,
                            max_leaf: int, depth: int,
                            cull_backface: bool, any_hit: bool = False,
                            packet_sublanes: int = SUBLANES,
-                           shade_stack=None, shade_mode: int = 0):
+                           shade_stack=None, shade_mode: int = 0,
+                           alpha_mask: bool = False):
     """One round of streamed-treelet traversal.
 
     Unlike _trace_packed8 (whole tree resident in VMEM), the node/tri
@@ -614,7 +655,7 @@ def _trace_packed8_treelet(node_stack, tri_stack, pid, o, d, tmn, tmx,
     kernel = functools.partial(
         _kernel8_treelet, max_leaf=max_leaf,
         cull_backface=cull_backface, any_hit=any_hit,
-        shade_mode=shade_mode)
+        shade_mode=shade_mode, alpha_mask=alpha_mask)
 
     f32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     i32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
@@ -674,13 +715,15 @@ def _trace_packed8_treelet(node_stack, tri_stack, pid, o, d, tmn, tmx,
 
 
 def _kernel8_treelet(pid_ref, *refs, max_leaf: int, cull_backface: bool,
-                     any_hit: bool, shade_mode: int):
+                     any_hit: bool, shade_mode: int,
+                     alpha_mask: bool = False):
     """Treelet kernel body = the flat BVH8 body; the prefetched pid ref is
     consumed by the BlockSpec index maps, not the kernel."""
     del pid_ref
     _traverse_kernel8(*refs, max_leaf=max_leaf,
                       cull_backface=cull_backface, any_hit=any_hit,
-                      shade_mode=shade_mode, shared_origin=False)
+                      shade_mode=shade_mode, shared_origin=False,
+                      alpha_mask=alpha_mask)
 
 
 # ---------------------------------------------------------------------------

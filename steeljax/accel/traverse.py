@@ -98,13 +98,19 @@ def _slab(node_row, o, inv_d, t_min, t_far):
                    static_argnames=("cull_backface", "any_hit"))
 def trace_nearest(bvh: BVH, tri_pos, tri_double_sided, origins, directions,
                   t_min, t_max, cull_backface: bool = True,
-                  any_hit: bool = False):
+                  any_hit: bool = False, tri_alpha_mask=None):
     """Nearest-hit (or first-hit when any_hit=True) BVH traversal.
 
     Returns dict of (N,) arrays: t (-1 on miss), tri (padded-array triangle
     index, -1 on miss), u, v barycentrics, hit mask.
+
+    `tri_alpha_mask` ((T,) uint32/int32, accel.alphamask) applies the same
+    in-traversal conservative alpha rejection as the Pallas kernel's
+    alpha_mask mode, so this stays an exact oracle for masked tables.
     """
     v0, e1, e2 = _pack_tris(tri_pos)
+    amask = (None if tri_alpha_mask is None
+             else jnp.asarray(tri_alpha_mask).astype(jnp.int32))
     max_leaf = bvh.max_leaf
     stack_size = bvh.depth + 2
     nodes = bvh.nodes
@@ -162,6 +168,10 @@ def trace_nearest(bvh: BVH, tri_pos, tri_double_sided, origins, directions,
             t, u, v, hit = intersect(o, d, cv0, ce1, ce2, cds,
                                      tmin, best_t, cull_backface)
             hit = hit & is_leaf & (lane < cnt)
+            if amask is not None:
+                from steeljax.accel.alphamask import mask_test
+                cm = jax.lax.dynamic_slice(amask, (base,), (max_leaf,))
+                hit = hit & mask_test(cm, u, v)
             t = jnp.where(hit, t, _INF)
             k = jnp.argmin(t)
             better = t[k] < best_t
@@ -188,12 +198,15 @@ def trace_nearest(bvh: BVH, tri_pos, tri_double_sided, origins, directions,
 
 
 def trace_any(bvh: BVH, tri_pos, tri_double_sided, origins, directions,
-              t_min, t_max):
+              t_min, t_max, tri_alpha_mask=None):
     """Visibility query: does any (non-alpha-tested) surface block the ray?
 
     Matches TraceVisibilityRay with terminate-on-first-hit and no backface
     culling (RayGen.rgen:127-178).  Returns a (N,) bool occlusion mask.
+    With `tri_alpha_mask`, provably-transparent candidates never block
+    (they would not block under the exact any-hit test either).
     """
     rec = trace_nearest(bvh, tri_pos, tri_double_sided, origins, directions,
-                        t_min, t_max, cull_backface=False, any_hit=True)
+                        t_min, t_max, cull_backface=False, any_hit=True,
+                        tri_alpha_mask=tri_alpha_mask)
     return rec["hit"]

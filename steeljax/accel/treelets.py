@@ -70,6 +70,9 @@ class TreeletTables:
     depth: int = struct.field(pytree_node=False, default=1)
     max_leaf: int = struct.field(pytree_node=False, default=24)
     shade_mode: int = struct.field(pytree_node=False, default=0)
+    # tri_stack rows carry AUX-encoded alpha masks (pack_tris with
+    # tri_alpha_mask); the kernel decodes/rejects in-traversal.
+    alpha_mask: bool = struct.field(pytree_node=False, default=False)
     # Host copy of each treelet's row-aligned triangle range (lo, hi) —
     # attach_shade_stack slices the global shade table by these.
     ranges: tuple = struct.field(pytree_node=False, default=())
@@ -244,7 +247,7 @@ def trace_treelets(tt: TreeletTables, o, d, t_min, t_max,
             cull_backface=cull_backface, any_hit=any_hit,
             packet_sublanes=packet_sublanes,
             shade_stack=tt.shade_stack if shade_mode else None,
-            shade_mode=shade_mode)
+            shade_mode=shade_mode, alpha_mask=tt.alpha_mask)
 
     rec = {"t": jnp.full((padded,), -1.0, jnp.float32),
            "tri": jnp.full((padded,), -1, jnp.int32),

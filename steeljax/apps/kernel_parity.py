@@ -60,7 +60,7 @@ def _norm(x):
 
 
 def _compare(name, rec_k, rec_o, tri_pos, results,
-             attrs=None, d=None, atol=2e-3):
+             attrs=None, d=None, atol=2e-3, exact=False):
     """Record per-field max deltas between kernel and oracle records.
 
     tri ids may legitimately differ on exact-tie hits, so geometry parity
@@ -79,6 +79,21 @@ def _compare(name, rec_k, rec_o, tri_pos, results,
         same_tri = (_np.asarray(rec_k["tri"])[both]
                     == _np.asarray(rec_o["tri"])[both])
         entry["tri_matches_pct"] = float(same_tri.mean() * 100.0)
+        if attrs is not None and same_tri.any():
+            # Independent cross-check at the ORACLE's (tri, u, v) where
+            # the ids agree — catches a systematic attribute-indexing
+            # bias that checking only at the kernel's own hit could hide.
+            bo = _np.nonzero(both)[0][same_tri]
+            trio = _np.asarray(rec_o["tri"])[bo]
+            no_ref = _norm(_interp(attrs["nrm"], trio,
+                                   _np.asarray(rec_o["u"])[bo],
+                                   _np.asarray(rec_o["v"])[bo]))
+            e1o = tri_pos[trio, 1] - tri_pos[trio, 0]
+            e2o = tri_pos[trio, 2] - tri_pos[trio, 0]
+            deto = _np.sum(_np.cross(d[bo], e2o) * e1o, axis=-1)
+            no_ref = _np.where((deto < 0)[:, None], -no_ref, no_ref)
+            entry["max_normal_delta_at_oracle"] = float(
+                _np.abs(_np.asarray(rec_k["n"])[bo] - no_ref).max())
         if attrs is not None:
             # Fused-shading parity vs manual interpolation at the
             # KERNEL's own (tri, u, v) — validates the in-kernel
@@ -106,9 +121,12 @@ def _compare(name, rec_k, rec_o, tri_pos, results,
                     _np.asarray(rec_k["uv"])[both] - uv_ref[both]).max())
     # Borderline-grazing rays may flip on fp fusion-order differences
     # between the two programs; tolerate <= 0.02% of rays, record all.
-    ok = (entry["hit_mismatches"] <= max(2, hk.shape[0] // 5000)
+    # Deterministic (non-grazing) variants demand exact agreement.
+    mismatch_budget = 0 if exact else max(2, hk.shape[0] // 5000)
+    ok = (entry["hit_mismatches"] <= mismatch_budget
           and entry.get("max_t_delta", 0.0) < atol
           and entry.get("max_normal_delta", 0.0) < 5e-3
+          and entry.get("max_normal_delta_at_oracle", 0.0) < 5e-3
           and entry.get("mat_mismatches", 0) == 0
           and entry.get("max_uv_delta", 0.0) < 5e-3)
     entry["ok"] = bool(ok)
@@ -206,6 +224,68 @@ def run(n_rays: int = 10240, n_tris: int = 30000) -> dict:
     variants["flat_anyhit"] = entry
     print(f"{'PASS' if entry['ok'] else 'FAIL'} flat_anyhit: {entry}")
     all_ok &= entry["ok"]
+
+    # --- in-kernel alpha masks (AnyHit.rahit:25-52 analog) ---------------
+    from steeljax.accel.alphamask import MASK_FULL
+    amask_np = r.integers(0, MASK_FULL + 1, n_tris).astype(np.uint32)
+    mtables, morder, mpadded = prepare_tables(
+        tris, ds, leaf_size=24, use_pallas=True, tri_alpha_mask=amask_np)
+    assert mtables.alpha_masked and len(mtables.chunks) == 1
+    mperm = apply_permutation((None, morder, mpadded),
+                              {"pos": tris, "ds": ds})
+    pmask = mtables.chunks[0].tri_mask
+    rec_o = traverse.trace_nearest(
+        mtables.bvh, jnp.asarray(mperm["pos"]), jnp.asarray(mperm["ds"]),
+        o, d, 0.001, 1000.0, cull_backface=True, tri_alpha_mask=pmask)
+    rec_k = ptv.trace_nearest_packet8(
+        mtables.bvh8, mtables.tris_packed, o, d, 0.001, 1000.0,
+        cull_backface=True, alpha_mask=True)
+    all_ok &= _compare("flat_alpha_mask", rec_k, rec_o, mperm["pos"],
+                       variants)
+    occ_mo = np.asarray(traverse.trace_any(
+        mtables.bvh, jnp.asarray(mperm["pos"]), jnp.asarray(mperm["ds"]),
+        o, d, 0.001, 40.0, tri_alpha_mask=pmask))
+    occ_mk = np.asarray(ptv.trace_nearest_packet8(
+        mtables.bvh8, mtables.tris_packed, o, d, 0.001, 40.0,
+        cull_backface=False, any_hit=True, alpha_mask=True)["hit"])
+    mm = int((occ_mo != occ_mk).sum())
+    entry = {"rays": n_rays, "hit_mismatches": mm,
+             "ok": mm <= max(2, n_rays // 5000)}
+    variants["flat_alpha_mask_anyhit"] = entry
+    print(f"{'PASS' if entry['ok'] else 'FAIL'} flat_alpha_mask_anyhit: "
+          f"{entry}")
+    all_ok &= entry["ok"]
+
+    # --- deterministic exact variant: hit_mismatches MUST be 0 ----------
+    # Axis-aligned quad stack + perpendicular interior rays: no grazing
+    # hits, so any kernel/oracle disagreement is a real bug, not fp noise.
+    layers = 48
+    dq = []
+    for i in range(layers):
+        z = -0.5 * i
+        dq.append([[-8, -8, z], [8, -8, z], [8, 8, z]])
+        dq.append([[-8, -8, z], [8, 8, z], [-8, 8, z]])
+    dq = np.asarray(dq, np.float32)
+    dds = np.ones(len(dq), bool)
+    g = 32
+    xs, ys = np.meshgrid(np.linspace(-7, 7, g) + 0.0031,
+                         np.linspace(-7, 7, g) + 0.0077)
+    od = np.stack([xs.ravel(), ys.ravel(), np.full(g * g, 5.0)],
+                  axis=-1).astype(np.float32)
+    dd = np.tile(np.array([0, 0, -1], np.float32), (g * g, 1))
+    dtables, dorder, dpadded = prepare_tables(dq, dds, leaf_size=24,
+                                              use_pallas=True)
+    dperm = apply_permutation((None, dorder, dpadded),
+                              {"pos": dq, "ds": dds})
+    rec_o = traverse.trace_nearest(
+        dtables.bvh, jnp.asarray(dperm["pos"]), jnp.asarray(dperm["ds"]),
+        jnp.asarray(od), jnp.asarray(dd), 0.001, 1000.0,
+        cull_backface=False)
+    rec_k = ptv.trace_nearest_packet8(
+        dtables.bvh8, dtables.tris_packed, jnp.asarray(od),
+        jnp.asarray(dd), 0.001, 1000.0, cull_backface=False)
+    all_ok &= _compare("flat_deterministic_exact", rec_k, rec_o,
+                       dperm["pos"], variants, atol=1e-5, exact=True)
 
     # --- multi-chunk sweep --------------------------------------------------
     ctables, corder, cpadded = prepare_tables(

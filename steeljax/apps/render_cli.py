@@ -69,10 +69,18 @@ def main(argv=None) -> int:
     parser.add_argument("--debug-view", default=None,
                         choices=["normals", "albedo", "roughness",
                                  "metallic", "occlusion", "emission",
-                                 "depth", "direct", "indirect"],
-                        help="hybrid mode: isolate one G-buffer channel or "
-                             "lighting term (Common/PBR.glsl:78-90 / "
-                             "Debug.glsl composition switches)")
+                                 "depth", "direct", "indirect",
+                                 "diffuse", "specular"],
+                        help="isolate one G-buffer channel or lighting "
+                             "term (Common/PBR.glsl:78-90 / Debug.glsl "
+                             "composition switches); diffuse/specular "
+                             "(ComposeBRDF isolation) work in BOTH modes, "
+                             "the rest are hybrid-only")
+    parser.add_argument("--override-material", default=None,
+                        metavar="ROUGH,METAL",
+                        help="force roughness,metallic after material "
+                             "unpack in every shading path "
+                             "(DEBUG_OVERRIDE_MATERIAL, Debug.glsl:16-18)")
     parser.add_argument("--force-forward", action="store_true",
                         help="route every material through the forward "
                              "path (Config::kForceForward, Config.hpp:41)")
@@ -113,13 +121,25 @@ def main(argv=None) -> int:
         except ValueError:
             parser.error(f"--env-color must be R,G,B, got {args.env_color!r}")
 
-    if args.debug_view and args.mode != "hybrid":
-        parser.error("--debug-view requires --mode hybrid")
+    if (args.debug_view and args.mode != "hybrid"
+            and args.debug_view not in ("diffuse", "specular")):
+        parser.error(f"--debug-view {args.debug_view} requires --mode "
+                     "hybrid (only diffuse/specular apply to pt)")
+    override = None
+    if args.override_material:
+        try:
+            override = tuple(
+                float(v) for v in args.override_material.split(","))
+            assert len(override) == 2
+        except (ValueError, AssertionError):
+            parser.error("--override-material must be ROUGH,METAL, got "
+                         f"{args.override_material!r}")
     config = RenderConfig(width=width, height=height,
                           render_to_hdr=args.hdr,
                           sample_count=args.sample_count,
                           force_forward=args.force_forward,
-                          debug_view=args.debug_view)
+                          debug_view=args.debug_view,
+                          override_material=override)
 
     import contextlib
 
@@ -155,6 +175,7 @@ def main(argv=None) -> int:
         # ("Frame time: %.2f ms (%.1f FPS)", UIRenderer.cpp:108-112), plus
         # primary-ray throughput.
         image = None
+        warm_dt = None
         last = time.time()
         with profile_ctx:
             for i in range(args.spp):
@@ -162,6 +183,10 @@ def main(argv=None) -> int:
                 now = time.time()
                 dt = max(now - last, 1e-9)
                 last = now
+                # Steady-state frame time for the overlay: the LAST frame
+                # (first frames pay jit compiles — 20-60 s cold — which
+                # misrepresented FPS when divided out of the wall clock).
+                warm_dt = dt
                 log_i(f"frame {i + 1}/{args.spp}: {dt * 1000.0:.2f} ms "
                       f"({1.0 / dt:.1f} FPS, "
                       f"{width * height / dt / 1e6:.1f} Mpray/s)")
@@ -197,6 +222,14 @@ def main(argv=None) -> int:
                                            renderer.light_volume)
         with profile_ctx:
             image = renderer.render_frame()
+        warm_dt = None
+        if args.overlay:
+            # Time a warmed second frame for the overlay text (the first
+            # pays scene prep + jit compiles; Engine.tick's per-frame
+            # timer has the same steady-state semantics).
+            t1 = time.time()
+            renderer.render_frame()
+            warm_dt = max(time.time() - t1, 1e-9)
         if args.show_probes:
             from steeljax.gi.debug import overlay_probes
             image = overlay_probes(image, renderer.light_volume,
@@ -204,7 +237,7 @@ def main(argv=None) -> int:
     elapsed = time.time() - t0
     if args.overlay:
         from steeljax.engine.overlay import burn_overlay
-        per_frame = elapsed / max(args.spp if args.mode == "pt" else 1, 1)
+        per_frame = warm_dt if warm_dt is not None else elapsed
         image = burn_overlay(image, [
             f"Frame time: {per_frame * 1e3:.2f} ms "
             f"({1.0 / max(per_frame, 1e-9):.1f} FPS)"])

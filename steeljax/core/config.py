@@ -40,10 +40,17 @@ class RenderConfig:
     max_alpha_retrace: int = 4
 
     # Debug composition switch (Common/PBR.glsl:78-90, Common/Debug.glsl):
-    # isolate one channel/term of the hybrid frame.  One of normals,
-    # albedo, roughness, metallic, occlusion, emission, depth, direct,
-    # indirect — or None for the full composite.
+    # isolate one channel/term of the frame.  One of normals, albedo,
+    # roughness, metallic, occlusion, emission, depth, direct, indirect
+    # (hybrid G-buffer/lighting channels), diffuse, specular (ComposeBRDF
+    # isolation, DEBUG_VIEW_DIFFUSE/SPECULAR — applies to BOTH render
+    # modes) — or None for the full composite.
     debug_view: str | None = None
+
+    # DEBUG_OVERRIDE_MATERIAL (Debug.glsl:16-18): force (roughness,
+    # metallic) after material unpack in every shading path (RayGen.rgen:
+    # 99-102, Lighting.comp:45-48, Forward.frag:46-49), or None.
+    override_material: tuple | None = None
 
     # Forward-stage blend-layer bound: the reference rasterizes every
     # alpha-blend fragment (ForwardStage.cpp:94-104, unsorted); steeljax

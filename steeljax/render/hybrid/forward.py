@@ -74,9 +74,13 @@ def trace_blend(scene: FlatScene, tables: TraceTables, o, d, t_min, t_max,
         rejected = _forward_rejected(scene, tables, rec, all_materials)
 
         def do_retrace(rec):
+            # Relative epsilon: an absolute 1e-4 is below one fp32 ulp of
+            # t past ~840 units, which silently re-hits far surfaces and
+            # burns the retrace budget (ADVICE r3).
             rec2 = trace_nearest(
                 tables, scene.tri_pos, scene.tri_double_sided, o, d,
-                rec["t"] + 1e-4, jnp.where(rejected, tmax, RAY_DEAD_T),
+                rec["t"] * (1.0 + 1e-4) + 1e-4,
+                jnp.where(rejected, tmax, RAY_DEAD_T),
                 cull_backface=True)
             return {k: jnp.where(rejected, rec2[k], rec[k]) for k in rec}
 
@@ -93,7 +97,8 @@ def trace_blend(scene: FlatScene, tables: TraceTables, o, d, t_min, t_max,
 def shade_forward(scene: FlatScene, tables: TraceTables, env: Environment,
                   rec, o, d, camera_position,
                   ray_tracing_enabled: bool = True,
-                  all_materials: bool = False):
+                  all_materials: bool = False,
+                  override_material: tuple | None = None):
     """Forward PBR for a blend hit (Forward.frag:25-66).  Returns
     (linear color (N, 3), alpha (N,)).  With `all_materials`, non-blend
     materials return alpha 1 (their pipelines disable blending)."""
@@ -141,6 +146,10 @@ def shade_forward(scene: FlatScene, tables: TraceTables, env: Environment,
     rm_s, has_rm = tex(42)
     roughness = shade[:, 36] * jnp.where(has_rm, rm_s[..., 1], 1.0)
     metallic = shade[:, 37] * jnp.where(has_rm, rm_s[..., 2], 1.0)
+    if override_material is not None:
+        # DEBUG_OVERRIDE_MATERIAL (Forward.frag:46-49).
+        roughness = jnp.full_like(roughness, override_material[0])
+        metallic = jnp.full_like(metallic, override_material[1])
 
     occ_s, has_occ = tex(44)
     occlusion = shade[:, 52] * jnp.where(has_occ, occ_s[..., 0], 1.0)
@@ -170,7 +179,8 @@ def shade_forward(scene: FlatScene, tables: TraceTables, env: Environment,
 def forward_stage(scene: FlatScene, tables: TraceTables, env: Environment,
                   lit_linear, gbuffer, o, d, opaque_t, t_min,
                   camera_position, ray_tracing_enabled: bool = True,
-                  max_blend_layers: int = 4, all_materials: bool = False):
+                  max_blend_layers: int = 4, all_materials: bool = False,
+                  override_material: tuple | None = None):
     """Compose the final display image: tone-mapped opaque lighting, env
     background, then up to `max_blend_layers` forward layers composited
     far-to-near.  Returns (N, 3) display color."""
@@ -195,7 +205,8 @@ def forward_stage(scene: FlatScene, tables: TraceTables, env: Environment,
                           all_materials=all_materials)
         color, alpha = shade_forward(scene, tables, env, rec, o, d,
                                      camera_position, ray_tracing_enabled,
-                                     all_materials=all_materials)
+                                     all_materials=all_materials,
+                                     override_material=override_material)
         return (rec["hit"], rec["t"], tone_map(color),
                 jnp.clip(alpha, 0.0, 1.0))
 
@@ -213,8 +224,10 @@ def forward_stage(scene: FlatScene, tables: TraceTables, env: Environment,
             hit_i, t_i, src_i, a_i = jax.lax.cond(
                 jnp.any(layers[-1][0]), layer, lambda _: empty, tmin)
         layers.append((hit_i, src_i, a_i))
-        # Dead interval for finished rays so later peels reject at the root.
-        tmin = jnp.where(hit_i, t_i + 1e-4, blend_tmax + 1.0)
+        # Dead interval for finished rays so later peels reject at the
+        # root.  Relative epsilon: see trace_blend's retrace note.
+        tmin = jnp.where(hit_i, t_i * (1.0 + 1e-4) + 1e-4,
+                         blend_tmax + 1.0)
 
     # Composite far-to-near over the opaque/background image — the blend
     # math of ForwardStage.cpp:94-104 (srcAlpha, oneMinusSrcAlpha), in

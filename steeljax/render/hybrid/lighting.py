@@ -38,7 +38,8 @@ def restore_position(depth, uv, inverse_proj_view):
 def compute_direct_lighting(scene: FlatScene, tables: TraceTables,
                             position, n, v, nov, base_color, f0,
                             roughness, metallic, max_alpha_retrace: int = 4,
-                            shadows: bool = True, live=None):
+                            shadows: bool = True, live=None,
+                            compose: str = "both"):
     """ComputeDirectLighting (Lighting.glsl:186-243), vectorized over
     pixels with a static unrolled loop over the scene's lights.
 
@@ -98,7 +99,8 @@ def compute_direct_lighting(scene: FlatScene, tables: TraceTables,
 
         lighting = (nol * attenuation)[..., None] * color * (
             1.0 - occluded)[..., None]
-        contribution = (diffuse + specular) * lighting
+        contribution = brdf_lib.compose_brdf(diffuse, specular,
+                                             compose) * lighting
         total = total + jnp.where((irradiance > EPSILON)[..., None],
                                   contribution, 0.0)
     return total
@@ -121,7 +123,8 @@ def env_brdf_scale_offset(env: Environment, nov, roughness):
 
 def compute_indirect_lighting(env: Environment, position, n, v, nov,
                               base_color, f0, roughness, metallic,
-                              occlusion, light_volume=None):
+                              occlusion, light_volume=None,
+                              compose: str = "both"):
     """ComputeIndirectLighting (Lighting.glsl:245-272)."""
     if light_volume is not None:
         from steeljax.gi.sample import sample_light_volume
@@ -154,20 +157,25 @@ def compute_indirect_lighting(env: Environment, position, n, v, nov,
     diffuse = kd * irradiance * base_color
     specular = (f0 * scale_offset[..., 0:1]
                 + scale_offset[..., 1:2]) * reflection
-    return (diffuse + specular * specular_norm) * occlusion[..., None]
+    return brdf_lib.compose_brdf(
+        diffuse, specular * specular_norm, compose) * occlusion[..., None]
 
 
 def deferred_lighting(scene: FlatScene, tables: TraceTables,
                       env: Environment, gbuffer, uv, inverse_proj_view,
                       camera_position, light_volume=None,
                       ray_tracing_enabled: bool = True,
-                      debug_view: str | None = None):
+                      debug_view: str | None = None,
+                      override_material: tuple | None = None):
     """Lighting.comp main: unpack G-buffer -> direct + indirect + emission.
     Returns linear HDR color (tone mapping happens at composite).
 
-    `debug_view` in {"direct", "indirect"} isolates one lighting term —
-    the composition switches of Common/PBR.glsl:78-90 / Debug.glsl as a
-    jit constant instead of a shader define."""
+    `debug_view` in {"direct", "indirect"} isolates one lighting term and
+    {"diffuse", "specular"} one ComposeBRDF term — the composition
+    switches of Common/PBR.glsl:78-90 / Debug.glsl as a jit constant
+    instead of a shader define.  `override_material` forces (roughness,
+    metallic) post-unpack (DEBUG_OVERRIDE_MATERIAL, Lighting.comp:45-48).
+    """
     depth = gbuffer["depth"]
     position = restore_position(depth, uv, inverse_proj_view)
 
@@ -177,6 +185,11 @@ def deferred_lighting(scene: FlatScene, tables: TraceTables,
     occlusion = gbuffer["base_color_occlusion"][..., 3]
     roughness = gbuffer["rough_metal"][..., 0]
     metallic = gbuffer["rough_metal"][..., 1]
+    if override_material is not None:
+        roughness = jnp.full_like(roughness, override_material[0])
+        metallic = jnp.full_like(metallic, override_material[1])
+    compose = debug_view if debug_view in ("diffuse", "specular") \
+        else "both"
 
     f0 = DIELECTRIC_F0 + (base_color - DIELECTRIC_F0) * metallic[..., None]
     v = _normalize(camera_position - position)
@@ -186,13 +199,13 @@ def deferred_lighting(scene: FlatScene, tables: TraceTables,
         direct = compute_direct_lighting(
             scene, tables, position, n, v, nov, base_color, f0,
             roughness, metallic, shadows=ray_tracing_enabled,
-            live=gbuffer["hit"])
+            live=gbuffer["hit"], compose=compose)
     else:
         direct = jnp.zeros_like(base_color)
 
     indirect = compute_indirect_lighting(
         env, position, n, v, nov, base_color, f0, roughness, metallic,
-        occlusion, light_volume)
+        occlusion, light_volume, compose=compose)
 
     if debug_view == "direct":
         return direct

@@ -27,7 +27,8 @@ from steeljax.scene.scene import Scene
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "ray_tracing_enabled",
-                     "force_forward", "max_blend_layers", "debug_view"))
+                     "force_forward", "max_blend_layers", "debug_view",
+                     "override_material"))
 def render_hybrid_pixels(scene, tables, env: Environment,
                          inverse_view, inverse_proj, view_proj,
                          camera_near, camera_far, width: int, height: int,
@@ -35,7 +36,8 @@ def render_hybrid_pixels(scene, tables, env: Environment,
                          ray_tracing_enabled: bool = True,
                          force_forward: bool = False,
                          max_blend_layers: int = 4,
-                         debug_view: str | None = None):
+                         debug_view: str | None = None,
+                         override_material: tuple | None = None):
     """One hybrid frame for the pixels (px, py); returns (N, 3) display
     color in [0, 1] (tone-mapped)."""
     xs = px.astype(jnp.float32)
@@ -105,7 +107,8 @@ def render_hybrid_pixels(scene, tables, env: Environment,
                                     inverse_proj_view, camera_position,
                                     light_volume=light_volume,
                                     ray_tracing_enabled=ray_tracing_enabled,
-                                    debug_view=debug_view)
+                                    debug_view=debug_view,
+                                    override_material=override_material)
         if debug_view in ("direct", "indirect"):
             from steeljax.core.colors import tone_map
             return tone_map(lit)
@@ -122,7 +125,8 @@ def render_hybrid_pixels(scene, tables, env: Environment,
                              direction, opaque_t, camera_near,
                              camera_position, ray_tracing_enabled,
                              max_blend_layers=max_blend_layers,
-                             all_materials=force_forward)
+                             all_materials=force_forward,
+                             override_material=override_material)
 
 
 class HybridRenderer:
@@ -194,7 +198,8 @@ class HybridRenderer:
             ray_tracing_enabled=self.config.ray_tracing_enabled,
             force_forward=self.config.force_forward,
             max_blend_layers=self.config.max_blend_layers,
-            debug_view=self.config.debug_view)
+            debug_view=self.config.debug_view,
+            override_material=self.config.override_material)
         if tile is not None:
             out = detile(out, self.width, self.height, tile).reshape(-1, 3)
         return out

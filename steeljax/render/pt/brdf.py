@@ -148,7 +148,18 @@ def make_surface(base_color, roughness, metallic, emission):
     }
 
 
-def evaluate_brdf(surface, wo, wi, wh):
+def compose_brdf(diffuse, specular, compose: str = "both"):
+    """ComposeBRDF (Common/PBR.glsl:78-90): the DEBUG_VIEW_DIFFUSE /
+    DEBUG_VIEW_SPECULAR term isolation as a jit constant instead of a
+    shader define.  compose in {"both", "diffuse", "specular"}."""
+    if compose == "diffuse":
+        return diffuse
+    if compose == "specular":
+        return specular
+    return diffuse + specular
+
+
+def evaluate_brdf(surface, wo, wi, wh, compose: str = "both"):
     nov = cos_theta(wo)
     nol = cos_theta(wi)
     noh = cos_theta(wh)
@@ -161,7 +172,7 @@ def evaluate_brdf(surface, wo, wi, wh):
     kd = (1.0 - f) * (1.0 - surface["metallic"])[..., None]
     diffuse = kd * diffuse_lambert(surface["base_color"])
     specular = d[..., None] * f * vis[..., None]
-    return diffuse + specular
+    return compose_brdf(diffuse, specular, compose)
 
 
 def pdf_brdf(surface, wo, wi, wh):

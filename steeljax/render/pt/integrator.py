@@ -289,7 +289,10 @@ def trace_material_ray(scene: FlatScene, tables: TraceTables, o, d,
         rejected = _alpha_rejected(scene, rec, shade_rows(scene, tables, rec))
 
         def do_retrace(rec):
-            new_tmin = rec["t"] + 1e-4
+            # Relative epsilon: an absolute 1e-4 is below one fp32 ulp of
+            # t for far hits, which would re-find the same rejected
+            # triangle and burn the retrace budget (ADVICE r3).
+            new_tmin = rec["t"] * (1.0 + 1e-4) + 1e-4
             rec2 = trace(o, d, new_tmin, jnp.where(rejected, tmax, RAY_DEAD_T))
             return {k: jnp.where(rejected, rec2[k], rec[k]) for k in rec}
 
@@ -526,8 +529,11 @@ def _light_distortion(n, w, seed):
 
 
 def direct_lighting(scene: FlatScene, tables: TraceTables, surface, tbn,
-                    p, wo, seed, max_alpha_retrace: int):
-    """DirectLighting (RayGen.rgen:268-305).  Returns (radiance, seed)."""
+                    p, wo, seed, max_alpha_retrace: int,
+                    compose: str = "both"):
+    """DirectLighting (RayGen.rgen:268-305).  Returns (radiance, seed).
+    `compose` isolates the diffuse/specular BRDF term (ComposeBRDF,
+    PathTracing.glsl:59)."""
     n = tbn[2]
     estimates = _estimate_lights(scene, n, p)            # (N, L)
     cum = jnp.cumsum(estimates, axis=-1)
@@ -577,7 +583,7 @@ def direct_lighting(scene: FlatScene, tables: TraceTables, surface, tbn,
     occluded = trace_visibility(scene, tables, origin, direction,
                                 RAY_MIN_T, t_far, max_alpha_retrace)
 
-    f = brdf_lib.evaluate_brdf(surface, wo, wi, wh)
+    f = brdf_lib.evaluate_brdf(surface, wo, wi, wh, compose=compose)
     contrib = (f * brdf_lib.cos_theta(wi)[..., None] * color
                * (attenuation / jnp.maximum(pdf, 1e-20))[..., None])
     visible = has_light & ~occluded
@@ -663,6 +669,17 @@ def trace_paths(scene: FlatScene, tables: TraceTables, o, d, seed,
             else:
                 surface, tbn = unpack_material(
                     scene, rec, d, shade_rows(scene, tables, rec))
+            if config.override_material is not None:
+                # DEBUG_OVERRIDE_MATERIAL (RayGen.rgen:99-102): force
+                # roughness/metallic post-unpack; rebuild the derived
+                # terms (f0/a/a2/sw) exactly as the reference's later
+                # reads of surface.* see the overridden values.
+                r_ov, m_ov = config.override_material
+                surface = brdf_lib.make_surface(
+                    surface["base_color"],
+                    jnp.full_like(surface["roughness"], r_ov),
+                    jnp.full_like(surface["metallic"], m_ov),
+                    surface["emission"])
 
             # Emission (RayGen.rgen:361).
             irradiance = irradiance + jnp.where(
@@ -678,7 +695,11 @@ def trace_paths(scene: FlatScene, tables: TraceTables, o, d, seed,
                     alive.astype(jnp.float32))
                 direct, seed = direct_lighting(
                     scene, tables, surface, tbn, p, wo, seed,
-                    config.max_alpha_retrace)
+                    config.max_alpha_retrace,
+                    compose=(config.debug_view
+                             if config.debug_view in ("diffuse",
+                                                      "specular")
+                             else "both"))
                 irradiance = irradiance + jnp.where(
                     alive[..., None], direct * weight, 0.0)
 

@@ -83,9 +83,22 @@ def prepare_scene(scene: Scene, env_resolution: int = 256,
         return flat, accel.prepare(scene)
 
     tri_pos = np.asarray(flat.tri_pos)
+    # Conservative per-triangle alpha-coverage masks baked into the
+    # triangle records (accel.alphamask): traversal rejects provably-
+    # transparent alpha-test hits in-kernel — the reference's any-hit
+    # shader (AnyHit.rahit:25-52) — leaving the integrator's exact
+    # bounded re-trace only the boundary cells.
+    tri_alpha_mask = None
+    if flat.any_alpha_test:
+        from steeljax.accel.alphamask import compute_alpha_masks
+        tri_alpha_mask = compute_alpha_masks(
+            np.asarray(flat.tri_uv), np.asarray(flat.tri_mat),
+            np.asarray(flat.mat_base_color), np.asarray(flat.mat_params),
+            np.asarray(flat.mat_tex), np.asarray(flat.mat_flags),
+            scene.textures)
     tables, global_order, total_padded = prepare_tables(
         tri_pos, np.asarray(flat.tri_double_sided), leaf_size=leaf_size,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, tri_alpha_mask=tri_alpha_mask)
     permuted = apply_permutation((None, global_order, total_padded), {
         "tri_pos": tri_pos,
         "tri_nrm": np.asarray(flat.tri_nrm),

@@ -296,14 +296,51 @@ def make_foliage_scene(cards: int = 500_000, region: float = 9.0,
     return scene
 
 
-def make_stress_scene(instances: int = 400, sphere_detail: int = 24) -> Scene:
+def _brick_texture(size: int = 256) -> np.ndarray:
+    """Procedural opaque RGBA brick/noise texture (base color) — gives the
+    textured stress bench a real high-frequency bilinear workload."""
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    row = np.floor(y * 8.0)
+    bx = x * 4.0 + np.where(row % 2 == 0, 0.0, 0.5)
+    mortar = ((np.abs(bx - np.round(bx)) < 0.04)
+              | (np.abs(y * 8.0 - np.round(y * 8.0)) < 0.06))
+    rng = np.random.default_rng(3)
+    noise = rng.uniform(0.85, 1.15, (size, size)).astype(np.float32)
+    tex = np.zeros((size, size, 4), np.uint8)
+    base = np.where(mortar[..., None],
+                    np.array([168, 160, 150], np.float32),
+                    np.array([152, 74, 56], np.float32))
+    tex[..., :3] = np.clip(base * noise[..., None], 0, 255).astype(np.uint8)
+    tex[..., 3] = 255
+    return tex
+
+
+def make_stress_scene(instances: int = 400, sphere_detail: int = 24,
+                      textured: bool = False) -> Scene:
     """Cornell box populated with a grid of instanced spheres/boxes —
     a multi-million-triangle synthetic workload standing in for San Miguel
-    (the reference snapshot ships no large scene geometry)."""
+    (the reference snapshot ships no large scene geometry).
+
+    `textured=True` gives the instanced materials a base-color texture
+    (opaque) so the bench exercises the textured shading path (uv
+    interpolation + bilinear atlas sampling) at full scene scale — the
+    actual San Miguel profile is textured opaque + alpha foliage."""
     rng = np.random.default_rng(7)
     scene = make_cornell_scene(sphere_detail=sphere_detail)
     sphere = 2  # from make_cornell_scene
     box = 1
+    if textured:
+        scene.textures.append(_brick_texture())
+        scene.materials[4] = Material(
+            base_color_factor=np.ones(4, np.float32),
+            emission_factor=np.zeros(4, np.float32),
+            base_color_texture=0, roughness_factor=0.6,
+            metallic_factor=0.0, flags=MaterialFlags.DOUBLE_SIDED)
+        scene.materials[5] = Material(
+            base_color_factor=np.array([0.9, 0.9, 0.9, 1.0], np.float32),
+            emission_factor=np.zeros(4, np.float32),
+            base_color_texture=0, roughness_factor=0.15,
+            metallic_factor=1.0, flags=MaterialFlags.DOUBLE_SIDED)
     side = int(np.ceil(instances ** (1 / 3)))
     count = 0
     for ix in range(side):

@@ -159,3 +159,44 @@ def test_sah_aligned_leaves_match_brute_force():
     np.testing.assert_array_equal(np.asarray(a["hit"]), np.asarray(b["hit"]))
     np.testing.assert_allclose(np.asarray(a["t"]), np.asarray(b["t"]),
                                atol=1e-4)
+
+
+def test_morton_builder_alignment_and_coverage():
+    """The Morton fallback builder must honor the same row-alignment
+    contract as the SAH path (_align_leaves): leaf starts at multiples of
+    TRI_PER_ROW, the permutation covers every input exactly once, and the
+    structural validator passes (ADVICE r3 — untested fallback)."""
+    from steeljax.accel.bvh import TRI_PER_ROW
+    from steeljax.core.validate import validate_bvh
+
+    rng = np.random.default_rng(9)
+    for count in (1, 7, 12, 100, 1333):
+        base = rng.uniform(-5, 5, (count, 1, 3)).astype(np.float32)
+        tris = (base + rng.normal(0, 0.3, (count, 3, 3))).astype(np.float32)
+        bvh, order, padded = build_bvh(tris, leaf_size=8, method="morton")
+        assert padded % TRI_PER_ROW == 0
+        assert len(order) == padded
+        real = order[order >= 0]
+        assert len(real) == count, "permutation must cover every triangle"
+        assert len(np.unique(real)) == count, "permutation has duplicates"
+        nodes = np.asarray(bvh.nodes)
+        leaf = nodes[:, 7] > 0
+        starts = nodes[leaf, 6].astype(np.int64)
+        assert (starts % TRI_PER_ROW == 0).all(), "unaligned morton leaf"
+        validate_bvh(bvh, padded)
+
+        # The aligned tree still answers queries exactly (vs brute force).
+        perm = apply_permutation((None, order, padded), {"tri_pos": tris})
+        ds = np.zeros(padded, bool)
+        o = jnp.asarray(rng.uniform(-6, 6, (64, 3)).astype(np.float32))
+        d = rng.normal(size=(64, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d = jnp.asarray(d)
+        got = trace_nearest(bvh, jnp.asarray(perm["tri_pos"]),
+                            jnp.asarray(ds), o, d, 0.001, 100.0,
+                            cull_backface=False)
+        want = trace_nearest_brute(jnp.asarray(perm["tri_pos"]),
+                                   jnp.asarray(ds), o, d, 0.001, 100.0,
+                                   cull_backface=False)
+        np.testing.assert_allclose(np.asarray(got["t"]),
+                                   np.asarray(want["t"]), atol=1e-4)

@@ -96,3 +96,111 @@ def test_debug_views_isolate_channels(hybrid_setup):
     assert views["roughness"][H // 2, W // 2, 0] > 0.9
     # direct + indirect both contribute to the full frame.
     assert (views["direct"] != views["indirect"]).any()
+
+
+def _render_cfg(hybrid_setup, **kw):
+    scene, flat, tables, frame, env = hybrid_setup
+    r = HybridRenderer.__new__(HybridRenderer)
+    r.scene, r.width, r.height = scene, W, H
+    r.config = RenderConfig(width=W, height=H, **kw)
+    r.flat, r.tables, r.env = flat, tables, env
+    r.light_volume = None
+    r.frame = frame
+    return r.render_frame()
+
+
+def test_debug_views_compose_brdf_terms(hybrid_setup):
+    """DEBUG_VIEW_DIFFUSE / DEBUG_VIEW_SPECULAR (Debug.glsl:13-14,
+    PBR.glsl:78-90): term isolation is LINEAR pre-tonemap, so
+    lit(diffuse) + lit(specular) == lit(both) + emission at the
+    deferred-lighting level."""
+    import jax.numpy as jnp
+    from steeljax.render.hybrid.lighting import deferred_lighting
+    from steeljax.render.hybrid.gbuffer import generate_gbuffer
+    from steeljax.core.colors import to_linear
+
+    scene, flat, tables, frame, env = hybrid_setup
+    n = 64
+    xs = (np.arange(n) % W).astype(np.float32)
+    ys = (np.arange(n) // W).astype(np.float32)
+    u = (xs + 0.5) / W
+    v = (ys + 0.5) / H
+    xy = np.stack([u, v], -1) * 2.0 - 1.0
+    inv_proj = np.asarray(frame.inverse_proj)
+    inv_view = np.asarray(frame.inverse_view)
+    target = np.concatenate([xy, np.ones((n, 2))], -1) @ inv_proj.T
+    d = target[:, :3] / np.linalg.norm(target[:, :3], axis=-1,
+                                       keepdims=True)
+    d = (np.concatenate([d, np.zeros((n, 1))], -1) @ inv_view.T)[:, :3]
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.tile(inv_view[:3, 3], (n, 1))
+    gb = generate_gbuffer(flat, tables, jnp.asarray(o, jnp.float32),
+                          jnp.asarray(d, jnp.float32),
+                          frame.camera_near, frame.camera_far,
+                          jnp.asarray(frame.view_proj), inv_view[:3, 3])
+    ipv = inv_view @ inv_proj
+    uv = jnp.asarray(np.stack([u, v], -1), jnp.float32)
+
+    def lit(view):
+        return np.asarray(deferred_lighting(
+            flat, tables, env, gb, uv, jnp.asarray(ipv, jnp.float32),
+            jnp.asarray(inv_view[:3, 3], jnp.float32), debug_view=view))
+
+    full, diff, spec = lit(None), lit("diffuse"), lit("specular")
+    emission = np.asarray(to_linear(gb["emission"]))
+    np.testing.assert_allclose(diff + spec, full + emission, atol=1e-4)
+    assert np.abs(diff - spec).max() > 1e-4  # the terms actually differ
+
+
+def test_override_material_changes_shading(hybrid_setup):
+    """DEBUG_OVERRIDE_MATERIAL (Debug.glsl:16-18): forcing mirror-metal
+    vs rough-dielectric must change the hybrid frame; overriding with a
+    value changes shading but not visibility (G-buffer channels agree)."""
+    full = _render_cfg(hybrid_setup)
+    rough = _render_cfg(hybrid_setup, override_material=(1.0, 0.0))
+    mirror = _render_cfg(hybrid_setup, override_material=(0.05, 1.0))
+    for img in (rough, mirror):
+        assert np.isfinite(img).all()
+    assert np.abs(mirror - rough).max() > 0.05
+    assert np.abs(mirror - full).max() > 0.01
+    # Visibility (depth channel) is untouched by the override.
+    d0 = _render_cfg(hybrid_setup, debug_view="depth")
+    d1 = _render_cfg(hybrid_setup, debug_view="depth",
+                     override_material=(0.05, 1.0))
+    np.testing.assert_allclose(d0, d1, atol=1e-6)
+
+
+def test_override_material_pt_mode():
+    """PT-mode override (RayGen.rgen:99-102): overriding with the scene's
+    own uniform material values is an identity; different values move the
+    image."""
+    import jax.numpy as jnp
+    from steeljax.render.pt.integrator import render_pixels
+    from steeljax.scene.builtin import make_parity_scene
+
+    scene = make_parity_scene(sphere_detail=4)
+    # Make every material identical so the override can be an identity.
+    for m in scene.materials:
+        m.roughness_factor = 0.7
+        m.metallic_factor = 0.0
+    flat, tables = prepare_scene(scene, env_resolution=8)
+    from steeljax.core import camera as camera_lib
+    frame = camera_lib.make_frame(scene.camera_location,
+                                  scene.camera_projection)
+    px, py = np.meshgrid(np.arange(24), np.arange(16))
+    px = jnp.asarray(px.reshape(-1).astype(np.int32))
+    py = jnp.asarray(py.reshape(-1).astype(np.int32))
+
+    def render(cfg):
+        return np.asarray(render_pixels(
+            flat, tables, jnp.asarray(frame.inverse_view),
+            jnp.asarray(frame.inverse_proj), frame.camera_near,
+            frame.camera_far, 24, 16, px, py, 0, 0, cfg))
+
+    base = render(RenderConfig(width=24, height=16))
+    same = render(RenderConfig(width=24, height=16,
+                               override_material=(0.7, 0.0)))
+    metal = render(RenderConfig(width=24, height=16,
+                                override_material=(0.1, 1.0)))
+    np.testing.assert_allclose(base, same, atol=1e-6)
+    assert np.abs(metal - base).max() > 0.01
