@@ -284,9 +284,43 @@ def trace_material_ray(scene: FlatScene, tables: TraceTables, o, d,
     # when no ray was rejected — so alpha scenes pay ~one cheap reduction,
     # not max_alpha_retrace full traversals, on bounces with no rejections.
     tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
+    count = o.shape[0]
+    rejected = _alpha_rejected(scene, rec, shade_rows(scene, tables, rec))
 
-    def retrace_pass(rec):
-        rejected = _alpha_rejected(scene, rec, shade_rows(scene, tables, rec))
+    # Dense-foliage scenes reject MOST first hits (speckled alpha masks:
+    # measured 78% of primary rays on the foliage bench even with the
+    # in-kernel coverage masks), and rejected rays stay SCATTERED across
+    # packets, so every retrace pass cost as much as a full traversal
+    # (measured 4.8 s/pass at 0.9M rays, linear in max_alpha_retrace).
+    # One payload sort (repack_rays) moving rejected rays to the front —
+    # Morton-ordered by their current HIT POINT, the retrace's effective
+    # origin — makes later passes' live packets dense and coherent while
+    # finished packets root-pop; one slot sort restores order at the end.
+    compact = (_total_triangles(tables) > REPACK_MIN_TRIS
+               and count >= 64 * 128)
+    rec_keys = sorted(rec.keys())
+
+    def _to_cols(rec):
+        return [rec[k].astype(jnp.int32) if rec[k].dtype == bool
+                else rec[k] for k in rec_keys]
+
+    def _from_cols(cols, template):
+        return {k: (c == 1) if template[k].dtype == bool else c
+                for k, c in zip(rec_keys, cols)}
+
+    if compact:
+        lo, inv_extent = scene_bounds(tables)
+        p = o + d * jnp.maximum(rec["t"], 0.0)[..., None]
+        key = (((~rejected).astype(jnp.int32) << 19)
+               | _ray_sort_key(p, d, lo, inv_extent))
+        slot = jnp.arange(count, dtype=jnp.int32)
+        key, cols = repack_rays(key, [o, d, tmax, slot] + _to_cols(rec))
+        o, d, tmax, slot = cols[:4]
+        rec = _from_cols(cols[4:], rec)
+        rejected = (key >> 19) == 0
+
+    def retrace_pass(state):
+        rec, rejected = state
 
         def do_retrace(rec):
             # Relative epsilon: an absolute 1e-4 is below one fp32 ulp of
@@ -296,16 +330,23 @@ def trace_material_ray(scene: FlatScene, tables: TraceTables, o, d,
             rec2 = trace(o, d, new_tmin, jnp.where(rejected, tmax, RAY_DEAD_T))
             return {k: jnp.where(rejected, rec2[k], rec[k]) for k in rec}
 
-        return jax.lax.cond(jnp.any(rejected), do_retrace, lambda r: r, rec)
+        rec = jax.lax.cond(jnp.any(rejected), do_retrace, lambda r: r, rec)
+        # Only previously-rejected rays changed, so the rejected set can
+        # only shrink: & keeps the check from resurrecting settled rays.
+        rejected = rejected & _alpha_rejected(
+            scene, rec, shade_rows(scene, tables, rec))
+        return rec, rejected
 
     for _ in range(max_alpha_retrace):
-        rec = retrace_pass(rec)
+        rec, rejected = retrace_pass((rec, rejected))
     # Hits that are still alpha-rejected after the bounded loop count as
     # misses (conservative vs the reference's exhaustive walk).
-    final_reject = _alpha_rejected(scene, rec, shade_rows(scene, tables, rec))
-    rec["hit"] = rec["hit"] & ~final_reject
+    rec["hit"] = rec["hit"] & ~rejected
     rec["tri"] = jnp.where(rec["hit"], rec["tri"], -1)
     rec["t"] = jnp.where(rec["hit"], rec["t"], -1.0)
+    if compact:
+        _, cols = repack_rays(slot, _to_cols(rec))
+        rec = _from_cols(cols, rec)
     return rec
 
 

@@ -84,3 +84,32 @@ def test_alpha_test_render_smoke():
         jnp.asarray(frame.inverse_proj), frame.camera_near,
         frame.camera_far, 16, 12, 0, 0, RenderConfig(width=16, height=12)))
     assert np.isfinite(img).all()
+
+
+def test_alpha_retrace_compaction_preserves_results(monkeypatch):
+    """The rejected-ray compaction (one payload sort before the retrace
+    loop, restored by a slot sort) must be invisible: identical records
+    in the original ray order."""
+    from steeljax.render.pt import integrator
+
+    scene = _alpha_scene()
+    flat, tables = prepare_scene(scene, env_resolution=8,
+                                 use_default_environment=False)
+    rng = np.random.default_rng(4)
+    n = 64 * 128  # meets the compaction batch floor
+    o = np.zeros((n, 3), np.float32)
+    o[:, 0] = rng.uniform(-4.5, 4.5, n)
+    o[:, 1] = rng.uniform(-4.5, 4.5, n)
+    o[:, 2] = 5.0
+    d = np.tile(np.array([0, 0, -1], np.float32), (n, 1))
+    args = (flat, tables, jnp.asarray(o), jnp.asarray(d),
+            jnp.full(n, 0.001, jnp.float32), jnp.full(n, 100.0, jnp.float32))
+
+    plain = trace_material_ray(*args, cull_backface=False,
+                               max_alpha_retrace=4)
+    monkeypatch.setattr(integrator, "REPACK_MIN_TRIS", 1)
+    compact = trace_material_ray(*args, cull_backface=False,
+                                 max_alpha_retrace=4)
+    for k in plain:
+        np.testing.assert_array_equal(np.asarray(plain[k]),
+                                      np.asarray(compact[k]), err_msg=k)
