@@ -66,7 +66,11 @@ def prepare_scene(scene: Scene, env_resolution: int = 256,
     O(instances) (AccelerationStructureManager.cpp:128-220 semantics)."""
     env_cube = None
     env_analytic = False
-    if getattr(scene, "environment_color", None) is not None:
+    if getattr(scene, "environment_cube", None) is not None:
+        # Direct cubemap injection (e.g. the fitted golden-surrogate env,
+        # apps.fit_env_surrogate) — bypasses panorama loading.
+        env_cube = np.asarray(scene.environment_cube, np.float32)
+    elif getattr(scene, "environment_color", None) is not None:
         env_cube = np.broadcast_to(
             np.asarray(scene.environment_color, np.float32),
             (6, env_resolution, env_resolution, 3)).copy()

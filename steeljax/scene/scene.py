@@ -83,6 +83,10 @@ class Scene:
         # surrogate when a scene's panorama asset is unavailable (e.g. the
         # reference checkout ships no Assets/Environments).
         self.environment_color: tuple | None = None
+        # Direct cubemap injection (6, R, R, 3) float32 — e.g. the fitted
+        # SH-2 golden surrogate (apps.fit_env_surrogate); takes precedence
+        # over environment_color in prepare_scene.
+        self.environment_cube: np.ndarray | None = None
         self.prefabs: dict[str, PrefabInfo] = {}
         # Mutation counter: renderers re-flatten when this advances (the
         # on-demand analog of the reference's every-frame TLAS rebuild).
