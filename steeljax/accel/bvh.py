@@ -225,32 +225,41 @@ def apply_permutation(bvh_result, arrays: dict[str, np.ndarray]
 
 @struct.dataclass
 class BVH8:
-    """8-wide BVH: one (128,) f32 row per supernode — child c occupies
-    lanes [16c, 16c+16): [min.xyz, max.xyz, meta0, meta1, pad(8)].
+    """Wide (multi-branch) BVH: one (128,) f32 row per supernode — child c
+    occupies lanes [stride*c, stride*c + 8) with stride = 128 // width:
+    [min.xyz, max.xyz, meta0, meta1] (+ pad lanes when stride > 8).
+
+    width 8 (default): 16-lane child stride, 8 pad lanes per child.
+    width 16: 8-lane stride, zero padding — half the node VMEM and half
+    the scalar pops of the 8-wide tree for the same leaves (one pop
+    slab-tests 16 children).
 
     meta1 > 0: leaf child (meta0 = TRI_PER_ROW-aligned first triangle,
                meta1 = count)
     meta1 == 0 and meta0 >= 0: internal child (meta0 = supernode index)
     empty slots have inverted AABBs and meta0 = -1.
 
-    One scalar pop tests 8 children, cutting the packet kernel's scalar
-    sync overhead ~3x vs the binary tree, and the row layout stores
-    supernodes densely in VMEM (no lane padding).
+    One scalar pop tests `width` children, cutting the packet kernel's
+    scalar sync overhead ~3x (8-wide) vs the binary tree, and the row
+    layout stores supernodes densely in VMEM.
     """
     rows: jnp.ndarray  # (S, 128) float32
     depth: int = struct.field(pytree_node=False)
     max_leaf: int = struct.field(pytree_node=False)
+    width: int = struct.field(pytree_node=False, default=8)
 
 
 def collapse_bvh8(nodes: np.ndarray, max_leaf: int,
-                  root: int = 0) -> tuple[np.ndarray, int]:
-    """Collapse a binary explicit-node (sub)tree into BVH8 rows.
+                  root: int = 0, width: int = 8) -> tuple[np.ndarray, int]:
+    """Collapse a binary explicit-node (sub)tree into width-wide rows.
 
     Strategy: starting from a binary node, repeatedly expand the internal
-    slot with the largest surface area until there are 8 slots or only
-    leaves remain.  `root` selects a subtree (treelet builds collapse
-    each cut node separately).  Returns (rows (S, 128) f32, depth8)."""
+    slot with the largest surface area until there are `width` slots or
+    only leaves remain.  `root` selects a subtree (treelet builds collapse
+    each cut node separately).  Returns (rows (S, 128) f32, depth)."""
     nodes = np.asarray(nodes)
+    stride = 128 // width
+    assert stride * width == 128 and stride >= 8, width
 
     def area(i):
         d = np.maximum(nodes[i, 3:6] - nodes[i, 0:3], 0.0)
@@ -264,7 +273,7 @@ def collapse_bvh8(nodes: np.ndarray, max_leaf: int,
     def build(binary_root: int) -> tuple[int, int]:
         """Returns (supernode index, subtree depth)."""
         slots = [binary_root]
-        while len(slots) < 8:
+        while len(slots) < width:
             internal = [s for s in slots if not is_leaf(s)]
             if not internal:
                 break
@@ -277,8 +286,8 @@ def collapse_bvh8(nodes: np.ndarray, max_leaf: int,
         rows.append(np.zeros(128, np.float32))
         depth = 1
         row = rows[sid]
-        for c in range(8):
-            off = 16 * c
+        for c in range(width):
+            off = stride * c
             if c < len(slots):
                 s = slots[c]
                 row[off:off + 6] = nodes[s, 0:6]

@@ -111,11 +111,20 @@ def backend_is_tpu() -> bool:
         return False
 
 
+def _default_snode_width() -> int:
+    """Supernode arity for the flat packet kernel: 8 (16-lane child
+    stride) or 16 (8-lane stride, zero pad — half the node VMEM and half
+    the scalar pops per ray).  Env override STEELJAX_BVH_WIDTH for A/B."""
+    import os
+    return int(os.environ.get("STEELJAX_BVH_WIDTH", "8"))
+
+
 def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
                    max_chunk: int | None = None,
                    use_pallas: bool | None = None, method: str = "auto",
                    treelets: bool | None = None,
-                   tri_alpha_mask: np.ndarray | None = None
+                   tri_alpha_mask: np.ndarray | None = None,
+                   snode_width: int | None = None
                    ) -> tuple["TraceTables", np.ndarray, int]:
     """Build (possibly chunked) acceleration tables.
 
@@ -139,6 +148,8 @@ def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
         treelets = os.environ.get("STEELJAX_TREELETS", "0") == "1"
     if use_pallas is None:
         use_pallas = backend_is_tpu()
+    if snode_width is None:
+        snode_width = _default_snode_width()
     if max_chunk is None:
         max_chunk = MAX_CHUNK_TRIS
     tri_pos = np.asarray(tri_pos, np.float32)
@@ -192,7 +203,8 @@ def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
                 sub_mask = mask[piece] if count else mask
                 permuted_mask[np.nonzero(real)[0]] = \
                     sub_mask[sub_order[real]]
-        rows8, depth8 = collapse_bvh8(np.asarray(bvh.nodes), leaf_size)
+        rows8, depth8 = collapse_bvh8(np.asarray(bvh.nodes), leaf_size,
+                                      width=snode_width)
         if len(piece):
             real_pos = sub_pos.reshape(-1, 3)
             lo = tuple(float(v) for v in real_pos.min(axis=0))
@@ -202,7 +214,7 @@ def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
         chunks.append(ChunkTables(
             bvh=bvh,
             bvh8=BVH8(rows=jnp.asarray(rows8), depth=depth8,
-                      max_leaf=leaf_size),
+                      max_leaf=leaf_size, width=snode_width),
             tris_packed=jnp.asarray(
                 ptv.pack_tris(permuted_pos, permuted_ds,
                               tri_alpha_mask=permuted_mask)),
@@ -258,16 +270,20 @@ def _prepare_treelet_tables(tri_pos, ds, leaf_size: int, method: str,
 
 
 def make_trace_tables(bvh: BVH, tri_pos, tri_double_sided,
-                      use_pallas: bool | None = None) -> TraceTables:
+                      use_pallas: bool | None = None,
+                      snode_width: int | None = None) -> TraceTables:
     """Single-chunk tables from an existing BVH + permuted arrays (used by
     tests and small scenes)."""
     if use_pallas is None:
         use_pallas = backend_is_tpu()
-    rows, depth8 = collapse_bvh8(np.asarray(bvh.nodes), bvh.max_leaf)
+    if snode_width is None:
+        snode_width = _default_snode_width()
+    rows, depth8 = collapse_bvh8(np.asarray(bvh.nodes), bvh.max_leaf,
+                                 width=snode_width)
     chunk = ChunkTables(
         bvh=bvh,
         bvh8=BVH8(rows=jnp.asarray(rows), depth=depth8,
-                  max_leaf=bvh.max_leaf),
+                  max_leaf=bvh.max_leaf, width=snode_width),
         tris_packed=jnp.asarray(
             ptv.pack_tris(np.asarray(tri_pos),
                           np.asarray(tri_double_sided))),

@@ -147,10 +147,31 @@ def pack_shade_records(tri_nrm, tri_tan, tri_uv, tri_mat,
 
 
 # ---------------------------------------------------------------------------
-# BVH8 kernel: 8 children per scalar pop, encoded leaf stack entries
+# Wide-BVH kernel: `width` children per scalar pop, encoded leaf entries
 # ---------------------------------------------------------------------------
 
 _LEAF_BITS = 21  # tri_row index bits (supports 2^21 * 12 = 25M triangles)
+
+
+@functools.lru_cache(maxsize=None)
+def batcher_network(n: int) -> tuple[tuple[int, int], ...]:
+    """Batcher odd-even mergesort comparator network for n a power of two
+    (19 CEs at n=8, 63 at n=16).  Each (i, j) with i < j is a compare-
+    exchange; the kernel applies them descending so the nearest child is
+    pushed LAST (LIFO pops it first — ordered descent)."""
+    assert n & (n - 1) == 0 and n > 1, n
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return tuple(pairs)
 
 # NOTE (measured, round 2): replacing the 8 per-child packet-min reduces
 # + Batcher sort with 4 packed-bitfield any-hit reduces and a static push
@@ -162,8 +183,8 @@ _LEAF_BITS = 21  # tri_row index bits (supports 2^21 * 12 = 25M triangles)
 def _traverse_kernel8(*refs, max_leaf: int,
                       cull_backface: bool, any_hit: bool = False,
                       shade_mode: int = 0, shared_origin: bool = False,
-                      alpha_mask: bool = False):
-    """Packet traversal over BVH8 supernode rows (steeljax.accel.bvh.BVH8).
+                      alpha_mask: bool = False, width: int = 8):
+    """Packet traversal over wide supernode rows (steeljax.accel.bvh.BVH8).
 
     Stack entries encode both node kinds: >= 0 is a supernode id; < 0 is a
     leaf range enc = -(row | count << 21) - 1 with row = start //
@@ -255,10 +276,11 @@ def _traverse_kernel8(*refs, max_leaf: int,
         def _supernode():
             row = snodes_ref[entry]  # (128,)
             big = jnp.float32(3.0e38)
+            stride = LANES // width
             keys = []
             vals = []
-            for c in range(8):
-                off = 16 * c
+            for c in range(width):
+                off = stride * c
                 t0x = (row[off + 0] - o_x) * inv_dx
                 t1x = (row[off + 3] - o_x) * inv_dx
                 t0y = (row[off + 1] - o_y) * inv_dy
@@ -285,14 +307,11 @@ def _traverse_kernel8(*refs, max_leaf: int,
                 keys.append(jnp.where(meta0 >= 0, near_min, big))
                 vals.append(entry_val)
 
-            # Descending-key sorting network (Batcher, 19 CEs): nearest
-            # child is pushed LAST, so LIFO pops it first — ordered
-            # traversal tightens best_t early and prunes the rest.
-            network = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
-                       (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (1, 5),
-                       (2, 6), (3, 7), (2, 4), (3, 5), (1, 2), (3, 4),
-                       (5, 6)]
-            for i, j in network:
+            # Descending-key sorting network (Batcher, 19 CEs at width 8,
+            # 63 at 16): nearest child is pushed LAST, so LIFO pops it
+            # first — ordered traversal tightens best_t early and prunes
+            # the rest.
+            for i, j in batcher_network(width):
                 swap = keys[i] < keys[j]
                 ki = jnp.where(swap, keys[j], keys[i])
                 kj = jnp.where(swap, keys[i], keys[j])
@@ -301,7 +320,7 @@ def _traverse_kernel8(*refs, max_leaf: int,
                 keys[i], keys[j] = ki, kj
                 vals[i], vals[j] = vi, vj
 
-            for c in range(8):
+            for c in range(width):
                 do_push = keys[c] < big
                 s = sp_ref[0]
                 stack_ref[s] = vals[c]
@@ -483,14 +502,14 @@ def _traverse_kernel8(*refs, max_leaf: int,
     jax.jit,
     static_argnames=("max_leaf", "depth", "cull_backface", "any_hit",
                      "packet_sublanes", "shade_mode", "shared_origin",
-                     "alpha_mask"))
+                     "alpha_mask", "width"))
 def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
                    max_leaf: int, depth: int,
                    cull_backface: bool, any_hit: bool = False,
                    packet_sublanes: int = SUBLANES,
                    shade_rows: jnp.ndarray | None = None,
                    shade_mode: int = 0, shared_origin: bool = False,
-                   alpha_mask: bool = False):
+                   alpha_mask: bool = False, width: int = 8):
     count = o.shape[0]
     block = LANES * packet_sublanes
     padded = -(-count // block) * block
@@ -520,7 +539,7 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
         _traverse_kernel8, max_leaf=max_leaf,
         cull_backface=cull_backface, any_hit=any_hit,
         shade_mode=shade_mode, shared_origin=shared_origin,
-        alpha_mask=alpha_mask)
+        alpha_mask=alpha_mask, width=width)
 
     f32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     i32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
@@ -535,7 +554,7 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
 
     vmem = lambda dt: pltpu.VMEM((packet_sublanes, LANES), dt)
     scratch = [
-        pltpu.SMEM((8 * depth + 16,), jnp.int32),  # encoded stack
+        pltpu.SMEM((width * depth + 16,), jnp.int32),  # encoded stack
         pltpu.SMEM((1,), jnp.int32),
         vmem(jnp.float32), vmem(jnp.float32), vmem(jnp.float32),
         vmem(jnp.int32),
@@ -600,7 +619,308 @@ def trace_nearest_packet8(bvh8, tris_packed, o, d, t_min, t_max,
                           packet_sublanes=packet_sublanes,
                           shade_rows=shade_rows, shade_mode=shade_mode,
                           shared_origin=shared_origin,
-                          alpha_mask=alpha_mask)
+                          alpha_mask=alpha_mask,
+                          width=getattr(bvh8, "width", 8))
+
+
+# ---------------------------------------------------------------------------
+# Multi-hit (K-nearest) kernel: the TPU-native any-hit alpha loop
+# ---------------------------------------------------------------------------
+# The reference's any-hit shader continues traversal past alpha-rejected
+# texels (AnyHit.rahit:25-52) at zero restart cost.  The packet kernel
+# cannot sample textures per candidate, so restart schemes paid a FULL
+# traversal per rejected layer (measured 4.8 s/pass at 0.9M rays on the
+# foliage bench, frame time linear in max_alpha_retrace).  This kernel
+# instead returns the K NEAREST candidate hits (post-coverage-mask) in
+# ONE traversal: the integrator exact-tests the K candidates per ray and
+# re-traces only rays whose K candidates ALL reject — the in-traversal
+# continuation the reference gets from hardware, re-expressed as a
+# per-lane insertion-sorted K-slot select chain.
+
+
+def _multihit_kernel(*refs, max_leaf: int, k_hits: int,
+                     cull_backface: bool, alpha_mask: bool, width: int):
+    """Packet traversal collecting the K nearest surviving hits per lane.
+
+    Slot state: K (t, u, v, tri) quadruples per lane, sorted ascending by
+    t.  A candidate hit inserts by a shift/place select cascade (one
+    element into a sorted list); the traversal prune bound is slot K-1's
+    t — any useful hit must enter the list.  Opaque and alpha triangles
+    share the list: the integrator's exact test never rejects opaque
+    materials, so no per-record flag is needed.
+    """
+    f32 = jnp.float32
+    it = iter(refs)
+    snodes_ref = next(it)
+    tris_ref = next(it)
+    ox, oy, oz, dx, dy, dz, tmn, tmx = (next(it) for _ in range(8))
+    out_t = [next(it) for _ in range(k_hits)]
+    out_u = [next(it) for _ in range(k_hits)]
+    out_v = [next(it) for _ in range(k_hits)]
+    out_i = [next(it) for _ in range(k_hits)]
+    stack_ref = next(it)
+    sp_ref = next(it)
+    st = [next(it) for _ in range(k_hits)]
+    su = [next(it) for _ in range(k_hits)]
+    sv = [next(it) for _ in range(k_hits)]
+    si = [next(it) for _ in range(k_hits)]
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                               jnp.where(d < 0, -1e-12, 1e-12), d)
+
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    inv_dx = safe_inv(d_x)
+    inv_dy = safe_inv(d_y)
+    inv_dz = safe_inv(d_z)
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+
+    for k in range(k_hits):
+        st[k][:] = tmx[:]
+        su[k][:] = jnp.zeros_like(tmx[:])
+        sv[k][:] = jnp.zeros_like(tmx[:])
+        si[k][:] = jnp.full(tmx.shape, -1, jnp.int32)
+
+    stack_ref[0] = 0
+    sp_ref[0] = 1
+
+    def cond(_):
+        return sp_ref[0] > 0
+
+    def body(_):
+        sp = sp_ref[0]
+        entry = stack_ref[sp - 1]
+        sp_ref[0] = sp - 1
+
+        @pl.when(entry >= 0)
+        def _supernode():
+            row = snodes_ref[entry]  # (128,)
+            big = jnp.float32(3.0e38)
+            stride = LANES // width
+            bound = st[k_hits - 1][:]
+            keys = []
+            vals = []
+            for c in range(width):
+                off = stride * c
+                t0x = (row[off + 0] - o_x) * inv_dx
+                t1x = (row[off + 3] - o_x) * inv_dx
+                t0y = (row[off + 1] - o_y) * inv_dy
+                t1y = (row[off + 4] - o_y) * inv_dy
+                t0z = (row[off + 2] - o_z) * inv_dz
+                t1z = (row[off + 5] - o_z) * inv_dz
+                near = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.minimum(t0z, t1z))
+                far = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x),
+                                jnp.maximum(t0y, t1y)),
+                    jnp.maximum(t0z, t1z))
+                hit = (near <= far) & (far >= tmn[:]) & (near <= bound)
+                meta0 = row[off + 6].astype(jnp.int32)
+                meta1 = row[off + 7].astype(jnp.int32)
+                near_min = jnp.min(jnp.where(hit, near, big))
+                is_leaf_child = meta1 > 0
+                enc = (meta0 // TRI_PER_ROW) | (meta1 << _LEAF_BITS)
+                entry_val = jnp.where(is_leaf_child, -(enc + 1), meta0)
+                keys.append(jnp.where(meta0 >= 0, near_min, big))
+                vals.append(entry_val)
+
+            for i, j in batcher_network(width):
+                swap = keys[i] < keys[j]
+                ki = jnp.where(swap, keys[j], keys[i])
+                kj = jnp.where(swap, keys[i], keys[j])
+                vi = jnp.where(swap, vals[j], vals[i])
+                vj = jnp.where(swap, vals[i], vals[j])
+                keys[i], keys[j] = ki, kj
+                vals[i], vals[j] = vi, vj
+
+            for c in range(width):
+                do_push = keys[c] < big
+                s = sp_ref[0]
+                stack_ref[s] = vals[c]
+                sp_ref[0] = s + do_push.astype(jnp.int32)
+
+        @pl.when(entry < 0)
+        def _leaf():
+            enc = -entry - 1
+            row_base = enc & ((1 << _LEAF_BITS) - 1)
+            cnt = enc >> _LEAF_BITS
+
+            def intersect_row(r):
+                trow = tris_ref[row_base + r]
+                for j in range(TRI_PER_ROW):
+                    l = r * TRI_PER_ROW + j
+                    off = TRI_STRIDE * j
+                    v0x = trow[off + 0]
+                    v0y = trow[off + 1]
+                    v0z = trow[off + 2]
+                    e1x = trow[off + 3]
+                    e1y = trow[off + 4]
+                    e1z = trow[off + 5]
+                    e2x = trow[off + 6]
+                    e2y = trow[off + 7]
+                    e2z = trow[off + 8]
+                    if alpha_mask:
+                        aux = trow[off + 9].astype(jnp.int32)
+                        ds_flag = (aux & 1) == 1
+                        amask = aux >> 1
+                    else:
+                        ds_flag = trow[off + 9] > 0.5
+
+                    px = d_y * e2z - d_z * e2y
+                    py = d_z * e2x - d_x * e2z
+                    pz = d_x * e2y - d_y * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    if cull_backface:
+                        facing = (det > _DET_EPS) | (
+                            ds_flag & (jnp.abs(det) > _DET_EPS))
+                    else:
+                        facing = jnp.abs(det) > _DET_EPS
+                    inv_det = 1.0 / jnp.where(
+                        jnp.abs(det) > _DET_EPS, det, 1.0)
+                    tx = o_x - v0x
+                    ty = o_y - v0y
+                    tz = o_z - v0z
+                    u = (tx * px + ty * py + tz * pz) * inv_det
+                    qx = ty * e1z - tz * e1y
+                    qy = tz * e1x - tx * e1z
+                    qz = tx * e1y - ty * e1x
+                    v = (d_x * qx + d_y * qy + d_z * qz) * inv_det
+                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    old_t = [st[k][:] for k in range(k_hits)]
+                    old_u = [su[k][:] for k in range(k_hits)]
+                    old_v = [sv[k][:] for k in range(k_hits)]
+                    old_i = [si[k][:] for k in range(k_hits)]
+                    hit = (facing & (u >= 0.0) & (v >= 0.0)
+                           & (u + v <= 1.0) & (t >= tmn[:])
+                           & (t < old_t[k_hits - 1]) & (l < cnt))
+                    if alpha_mask:
+                        # Provably-transparent candidates never enter the
+                        # list (the integrator's exact test would have
+                        # rejected them anyway — accel.alphamask).
+                        hit = hit & alphamask.mask_test(amask, u, v)
+                    tri_id = row_base * TRI_PER_ROW + jnp.int32(l)
+                    # Sorted insertion: shift slots >= insert index down
+                    # one, then place.  Shift and place conditions are
+                    # disjoint per slot (t < old_t[k-1] vs t >= old_t[k-1]).
+                    for k in range(k_hits - 1, 0, -1):
+                        sh = hit & (t < old_t[k - 1])
+                        st[k][:] = jnp.where(sh, old_t[k - 1], old_t[k])
+                        su[k][:] = jnp.where(sh, old_u[k - 1], old_u[k])
+                        sv[k][:] = jnp.where(sh, old_v[k - 1], old_v[k])
+                        si[k][:] = jnp.where(sh, old_i[k - 1], old_i[k])
+                    for k in range(k_hits):
+                        place = hit & (t < old_t[k])
+                        if k:
+                            place = place & (t >= old_t[k - 1])
+                        st[k][:] = jnp.where(place, t, st[k][:])
+                        su[k][:] = jnp.where(place, u, su[k][:])
+                        sv[k][:] = jnp.where(place, v, sv[k][:])
+                        si[k][:] = jnp.where(place, tri_id, si[k][:])
+
+            intersect_row(0)
+            for r in range(1, -(-max_leaf // TRI_PER_ROW)):
+                pl.when(cnt > r * TRI_PER_ROW)(
+                    functools.partial(intersect_row, r))
+        return 0
+
+    jax.lax.while_loop(cond, body, 0)
+
+    for k in range(k_hits):
+        found = si[k][:] >= 0
+        out_t[k][:] = jnp.where(found, st[k][:], f32(-1.0))
+        out_u[k][:] = su[k][:]
+        out_v[k][:] = sv[k][:]
+        out_i[k][:] = si[k][:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_leaf", "depth", "k_hits", "cull_backface",
+                     "packet_sublanes", "alpha_mask", "width"))
+def _trace_multihit(snode_rows, tris_packed, o, d, t_min, t_max,
+                    max_leaf: int, depth: int, k_hits: int,
+                    cull_backface: bool,
+                    packet_sublanes: int = SUBLANES,
+                    alpha_mask: bool = False, width: int = 8):
+    count = o.shape[0]
+    block = LANES * packet_sublanes
+    padded = -(-count // block) * block
+    pad = padded - count
+
+    def prep(x, fill=0.0):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=fill)
+
+    o = prep(o)
+    d = prep(d, 1.0)
+    tmn = prep(jnp.broadcast_to(t_min, (count,)))
+    tmx = prep(jnp.broadcast_to(t_max, (count,)), -3.0e38)
+
+    rows = padded // LANES
+    comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tmn, tmx]
+    comps = [c.reshape(rows, LANES) for c in comps]
+
+    grid = (rows // packet_sublanes,)
+    ray_spec = pl.BlockSpec((packet_sublanes, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _multihit_kernel, max_leaf=max_leaf, k_hits=k_hits,
+        cull_backface=cull_backface, alpha_mask=alpha_mask, width=width)
+
+    f32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    i32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+    out_shape = ([f32tile] * (3 * k_hits)) + [i32tile] * k_hits
+
+    vmem = lambda dt: pltpu.VMEM((packet_sublanes, LANES), dt)
+    scratch = [
+        pltpu.SMEM((width * depth + 16,), jnp.int32),
+        pltpu.SMEM((1,), jnp.int32),
+    ]
+    scratch += [vmem(jnp.float32)] * (3 * k_hits)
+    scratch += [vmem(jnp.int32)] * k_hits
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[full, full] + [ray_spec] * 8,
+        out_specs=[ray_spec] * len(out_shape),
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+    )(snode_rows, tris_packed, *comps)
+
+    def unpad(x):
+        return x.reshape(-1)[:count]
+
+    t = jnp.stack([unpad(x) for x in outs[:k_hits]])
+    u = jnp.stack([unpad(x) for x in outs[k_hits:2 * k_hits]])
+    v = jnp.stack([unpad(x) for x in outs[2 * k_hits:3 * k_hits]])
+    tri = jnp.stack([unpad(x) for x in outs[3 * k_hits:4 * k_hits]])
+    return {"t": t, "u": u, "v": v, "tri": tri}
+
+
+def trace_multihit_packet8(bvh8, tris_packed, o, d, t_min, t_max,
+                           k_hits: int, cull_backface: bool = True,
+                           packet_sublanes: int = SUBLANES,
+                           alpha_mask: bool = False):
+    """K-nearest packet traversal: returns {"t", "u", "v", "tri"} stacked
+    (k_hits, N) arrays sorted ascending by t per ray; slot k's tri is -1
+    (t -1.0) when the ray has fewer than k+1 surviving hits.  With
+    alpha_mask=True, coverage-mask-rejected candidates never enter the
+    list (tris_packed must carry AUX masks)."""
+    return _trace_multihit(bvh8.rows, tris_packed, o, d,
+                           jnp.asarray(t_min, jnp.float32),
+                           jnp.asarray(t_max, jnp.float32),
+                           bvh8.max_leaf, bvh8.depth, k_hits,
+                           cull_backface,
+                           packet_sublanes=packet_sublanes,
+                           alpha_mask=alpha_mask,
+                           width=getattr(bvh8, "width", 8))
 
 
 # ---------------------------------------------------------------------------

@@ -59,6 +59,63 @@ def _norm(x):
     return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-20)
 
 
+def _multihit_oracle(tri_pos, ds, o, d, tmn, tmx, k, cull, mask):
+    """Exhaustive K-nearest reference: per ray, Moller-Trumbore against
+    every triangle (numpy, ray-batched), coverage-mask filter, k-smallest
+    by t.  Returns dict of (k, N) arrays with -1.0 t / -1 tri padding —
+    the trace_multihit_packet8 contract."""
+    tri_pos = np.asarray(tri_pos, np.float32)
+    ds = np.asarray(ds, bool)
+    n = len(o)
+    out = {"t": np.full((k, n), -1.0, np.float32),
+           "u": np.zeros((k, n), np.float32),
+           "v": np.zeros((k, n), np.float32),
+           "tri": np.full((k, n), -1, np.int32)}
+    v0 = tri_pos[:, 0]
+    e1 = tri_pos[:, 1] - v0
+    e2 = tri_pos[:, 2] - v0
+    eps = 1e-12
+    for s in range(0, n, 128):
+        e = min(s + 128, n)
+        ob = o[s:e, None, :]
+        db = d[s:e, None, :]
+        p = np.cross(db, e2[None])
+        det = (p * e1[None]).sum(-1)
+        if cull:
+            facing = (det > eps) | (ds[None] & (np.abs(det) > eps))
+        else:
+            facing = np.abs(det) > eps
+        inv = 1.0 / np.where(np.abs(det) > eps, det, 1.0)
+        tv = ob - v0[None]
+        uu = (tv * p).sum(-1) * inv
+        q = np.cross(tv, e1[None])
+        vv = (db * q).sum(-1) * inv
+        tt = (e2[None] * q).sum(-1) * inv
+        hit = (facing & (uu >= 0) & (vv >= 0) & (uu + vv <= 1)
+               & (tt >= tmn) & (tt < tmx))
+        if mask is not None:
+            from steeljax.accel.alphamask import GRID, cell_index
+            # Clip in float first: non-hit lanes carry huge u/v that
+            # overflow the int32 cast (harmless but warns).
+            ci = np.clip(np.nan_to_num(uu) * GRID, 0, GRID - 1).astype(
+                np.int32)
+            cj = np.clip(np.nan_to_num(vv) * GRID, 0, GRID - 1).astype(
+                np.int32)
+            bit = (mask[None].astype(np.int64)
+                   >> cell_index(ci, cj)) & 1
+            hit &= (bit == 1) | ((ci + cj) > (GRID - 1))
+        tt = np.where(hit, tt, np.inf)
+        idx = np.argsort(tt, axis=1, kind="stable")[:, :k]
+        rows = np.arange(e - s)[:, None]
+        sel_t = tt[rows, idx]
+        found = np.isfinite(sel_t)
+        out["t"][:, s:e] = np.where(found, sel_t, -1.0).T
+        out["u"][:, s:e] = np.where(found, uu[rows, idx], 0.0).T
+        out["v"][:, s:e] = np.where(found, vv[rows, idx], 0.0).T
+        out["tri"][:, s:e] = np.where(found, idx, -1).T
+    return out
+
+
 def _compare(name, rec_k, rec_o, tri_pos, results,
              attrs=None, d=None, atol=2e-3, exact=False):
     """Record per-field max deltas between kernel and oracle records.
@@ -312,6 +369,66 @@ def run(n_rays: int = 10240, n_tris: int = 30000) -> dict:
     variants["chunked_anyhit"] = entry
     print(f"{'PASS' if entry['ok'] else 'FAIL'} chunked_anyhit: {entry}")
     all_ok &= entry["ok"]
+
+    # --- 16-wide supernodes (STEELJAX_BVH_WIDTH=16 layout) ---------------
+    wtables, worder, wpadded = prepare_tables(tris, ds, leaf_size=24,
+                                              use_pallas=True,
+                                              snode_width=16)
+    assert wtables.bvh8.width == 16
+    wperm = apply_permutation((None, worder, wpadded),
+                              {"pos": tris, "ds": ds})
+    rec_o = trace_nearest(wtables.replace(use_pallas=False),
+                          jnp.asarray(wperm["pos"]),
+                          jnp.asarray(wperm["ds"]), o, d, 0.001, 1000.0,
+                          cull_backface=True)
+    rec_k = ptv.trace_nearest_packet8(
+        wtables.bvh8, wtables.tris_packed, o, d, 0.001, 1000.0,
+        cull_backface=True)
+    all_ok &= _compare("flat_shade0_width16", rec_k, rec_o, wperm["pos"],
+                       variants)
+
+    # --- multi-hit K-nearest slots vs brute force -------------------------
+    # The alpha path's kernel (trace_multihit_packet8): K nearest
+    # surviving candidates per ray, sorted ascending.  Oracle = exhaustive
+    # numpy Moller-Trumbore + per-ray k-smallest.
+    kmh = 4
+    mh_n = 2048
+    o_m, d_m = o_np[:mh_n], d_np[:mh_n]
+    for label, tab, prm, msk in (
+            ("flat_multihit", tables, perm, None),
+            ("flat_multihit_masked", mtables, mperm,
+             np.asarray(mtables.chunks[0].tri_mask))):
+        slots_k = ptv.trace_multihit_packet8(
+            tab.bvh8, tab.tris_packed, jnp.asarray(o_m), jnp.asarray(d_m),
+            0.001, 1000.0, k_hits=kmh, cull_backface=True,
+            alpha_mask=msk is not None)
+        slots_o = _multihit_oracle(prm["pos"], prm["ds"], o_m, d_m,
+                                   0.001, 1000.0, kmh, True, msk)
+        tk = np.asarray(slots_k["t"])
+        to_ = slots_o["t"]
+        hk = tk > 0
+        ho = to_ > 0
+        slot_mm = int((hk != ho).sum())
+        both = hk & ho
+        dt = float(np.abs(tk[both] - to_[both]).max()) if both.any() else 0.0
+        # u/v/tri comparison where the slot tri ids agree (tie-order and
+        # grazing-edge slots legitimately differ).
+        same = both & (np.asarray(slots_k["tri"]) == slots_o["tri"])
+        duv = 0.0
+        if same.any():
+            duv = float(max(
+                np.abs(np.asarray(slots_k["u"])[same]
+                       - slots_o["u"][same]).max(),
+                np.abs(np.asarray(slots_k["v"])[same]
+                       - slots_o["v"][same]).max()))
+        entry = {"rays": mh_n, "k": kmh, "slot_mismatches": slot_mm,
+                 "slots_hit": int(hk.sum()), "max_t_delta": dt,
+                 "max_uv_delta_same_tri": duv,
+                 "ok": (slot_mm <= max(2, (mh_n * kmh) // 5000)
+                        and dt < 2e-3 and duv < 5e-3)}
+        variants[label] = entry
+        print(f"{'PASS' if entry['ok'] else 'FAIL'} {label}: {entry}")
+        all_ok &= entry["ok"]
 
     # --- two-level instanced kernel ------------------------------------
     from steeljax.accel.instances import InstancedAccel

@@ -180,6 +180,19 @@ def _ray_sort_key(o, d, lo, inv_extent):
 # payload sort costs more than the whole packet union sweep.
 REPACK_MIN_TRIS = 200_000
 
+# K-nearest candidates collected per traversal on the multi-hit alpha
+# path (_trace_material_multihit): the integrator exact-tests K hits per
+# traversal instead of one, so re-traces run only for rays whose K
+# nearest mask-passing candidates ALL reject.  Env override
+# STEELJAX_MULTIHIT_K (0 disables, falling back to the single-hit
+# bounded re-trace loop) for A/B.
+MULTIHIT_K = 4
+
+
+def _multihit_k() -> int:
+    import os
+    return int(os.environ.get("STEELJAX_MULTIHIT_K", str(MULTIHIT_K)))
+
 
 def _total_triangles(tables) -> int:
     """Static triangle-count estimate for the sort gate."""
@@ -274,6 +287,21 @@ def trace_material_ray(scene: FlatScene, tables: TraceTables, o, d,
                                  cull_backface=cull_backface,
                                  shared_origin=shared_origin)
 
+    k_hits = _multihit_k()
+    if (scene.any_alpha_test and k_hits > 0
+            and not isinstance(tables, InstancedTables)
+            and tables.use_pallas and tables.treelets is None
+            and tables.shade_mode == 0 and len(tables.chunks) == 1):
+        # Multi-hit path: ONE traversal returns the K nearest mask-
+        # passing candidates; the exact test runs per slot and re-traces
+        # only rays whose K candidates all rejected (the reference's
+        # in-traversal any-hit continuation, AnyHit.rahit:25-52).  Gated
+        # to the gather-shade flat path — exactly the big-scene regime
+        # where restart passes cost full traversals.
+        return _trace_material_multihit(scene, tables, o, d, t_min, t_max,
+                                        cull_backface, max_alpha_retrace,
+                                        k_hits)
+
     rec = trace(o, d, t_min, t_max)
     if not scene.any_alpha_test:
         return rec
@@ -342,6 +370,124 @@ def trace_material_ray(scene: FlatScene, tables: TraceTables, o, d,
     # Hits that are still alpha-rejected after the bounded loop count as
     # misses (conservative vs the reference's exhaustive walk).
     rec["hit"] = rec["hit"] & ~rejected
+    rec["tri"] = jnp.where(rec["hit"], rec["tri"], -1)
+    rec["t"] = jnp.where(rec["hit"], rec["t"], -1.0)
+    if compact:
+        _, cols = repack_rays(slot, _to_cols(rec))
+        rec = _from_cols(cols, rec)
+    return rec
+
+
+def _resolve_multihit(scene: FlatScene, tables, slots):
+    """Winner selection over K sorted candidate slots: the first slot
+    that is a hit and survives the EXACT alpha test (_alpha_rejected,
+    the authority the conservative kernel masks defer to) wins; an empty
+    slot means the ray ran out of surfaces (resolved miss).  Returns
+    (rec, exhausted) where exhausted = all K slots hit and all rejected
+    (more surfaces may exist past slot K-1)."""
+    k_hits, n = slots["t"].shape
+    rec = {"t": jnp.full((n,), -1.0, jnp.float32),
+           "tri": jnp.full((n,), -1, jnp.int32),
+           "u": jnp.zeros((n,), jnp.float32),
+           "v": jnp.zeros((n,), jnp.float32),
+           "hit": jnp.zeros((n,), bool)}
+    resolved = jnp.zeros((n,), bool)
+    for k in range(k_hits):
+        rec_k = {"t": slots["t"][k], "u": slots["u"][k],
+                 "v": slots["v"][k], "tri": slots["tri"][k],
+                 "hit": slots["tri"][k] >= 0}
+        rej = _alpha_rejected(scene, rec_k,
+                              shade_rows(scene, tables, rec_k))
+        take = ~resolved & rec_k["hit"] & ~rej
+        for f in ("t", "u", "v", "tri"):
+            rec[f] = jnp.where(take, rec_k[f], rec[f])
+        rec["hit"] = rec["hit"] | take
+        # A non-hit slot implies every later slot is empty too: the ray
+        # has fewer than k+1 surviving candidates — a genuine miss.
+        resolved = resolved | take | ~rec_k["hit"]
+    return rec, ~resolved
+
+
+def _trace_material_multihit(scene: FlatScene, tables: TraceTables, o, d,
+                             t_min, t_max, cull_backface: bool,
+                             max_alpha_retrace: int, k_hits: int):
+    """Nearest hit honoring any-hit alpha testing via the K-nearest
+    kernel (accel.pallas_traverse.trace_multihit_packet8): one traversal
+    yields K exact-testable candidates, so the bounded re-trace loop
+    fires only for rays whose K nearest candidates ALL reject (~the
+    deep-canopy tail), instead of once per rejected layer."""
+    from steeljax.accel import pallas_traverse as ptv
+    from steeljax.accel.dispatch import BIG_CHUNK_ROWS, SUBLANES_BIG
+
+    chunk = tables.chunks[0]
+    subl = (SUBLANES_BIG if chunk.rows > BIG_CHUNK_ROWS
+            else ptv.SUBLANES)
+    count = o.shape[0]
+    tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (count,))
+    tmin0 = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (count,))
+
+    def mtrace(o, d, tmn, tmx):
+        return ptv.trace_multihit_packet8(
+            chunk.bvh8, chunk.tris_packed, o, d, tmn, tmx,
+            k_hits=k_hits, cull_backface=cull_backface,
+            packet_sublanes=subl, alpha_mask=tables.alpha_masked)
+
+    slots = mtrace(o, d, tmin0, tmax)
+    rec, exhausted = _resolve_multihit(scene, tables, slots)
+    t_last = slots["t"][k_hits - 1]
+
+    # Exhausted rays are rare but scattered; compact them to the front
+    # (same payload-sort rationale as the single-hit loop) so retrace
+    # packets are dense and finished packets root-pop.
+    compact = (_total_triangles(tables) > REPACK_MIN_TRIS
+               and count >= 64 * 128)
+    rec_keys = sorted(rec.keys())
+
+    def _to_cols(rec):
+        return [rec[k].astype(jnp.int32) if rec[k].dtype == bool
+                else rec[k] for k in rec_keys]
+
+    def _from_cols(cols, template):
+        return {k: (c == 1) if template[k].dtype == bool else c
+                for k, c in zip(rec_keys, cols)}
+
+    slot = None
+    if compact:
+        lo, inv_extent = scene_bounds(tables)
+        p = o + d * jnp.maximum(t_last, 0.0)[..., None]
+        key = (((~exhausted).astype(jnp.int32) << 19)
+               | _ray_sort_key(p, d, lo, inv_extent))
+        slot = jnp.arange(count, dtype=jnp.int32)
+        key, cols = repack_rays(
+            key, [o, d, tmax, t_last, slot] + _to_cols(rec))
+        o, d, tmax, t_last, slot = cols[:5]
+        rec = _from_cols(cols[5:], rec)
+        exhausted = (key >> 19) == 0
+
+    def retrace_pass(state):
+        rec, exhausted, t_last = state
+
+        def do(args):
+            rec, exhausted, t_last = args
+            # Relative epsilon (ADVICE r3): absolute offsets vanish
+            # below one fp32 ulp of far t values.
+            new_tmin = t_last * (1.0 + 1e-4) + 1e-4
+            slots2 = mtrace(o, d, new_tmin,
+                            jnp.where(exhausted, tmax, RAY_DEAD_T))
+            rec2, ex2 = _resolve_multihit(scene, tables, slots2)
+            rec = {k: jnp.where(exhausted, rec2[k], rec[k]) for k in rec}
+            t_last2 = jnp.where(exhausted, slots2["t"][k_hits - 1],
+                                t_last)
+            return rec, exhausted & ex2, t_last2
+
+        return jax.lax.cond(jnp.any(exhausted), do, lambda s: s,
+                            (rec, exhausted, t_last))
+
+    for _ in range(max_alpha_retrace):
+        rec, exhausted, t_last = retrace_pass((rec, exhausted, t_last))
+    # Rays still exhausted after the bounded loop count as misses
+    # (conservative vs the reference's unbounded any-hit walk).
+    rec["hit"] = rec["hit"] & ~exhausted
     rec["tri"] = jnp.where(rec["hit"], rec["tri"], -1)
     rec["t"] = jnp.where(rec["hit"], rec["t"], -1.0)
     if compact:
