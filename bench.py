@@ -11,7 +11,10 @@ Configs (headline LAST so single-line parsers pick it up):
    materials (opaque): uv interpolation + bilinear atlas sampling at
    full scene scale, quantifying the textured-shading cost next to 1.
 3. foliage_alpha_pt_rays_per_second — alpha-test foliage (the San Miguel
-   hard part): in-kernel coverage masks + the exact bounded re-trace.
+   hard part): in-kernel coverage masks + the exact bounded re-trace,
+   on the ADVERSARIAL serrated texture (no provably-opaque cells).
+3b. foliage_solid_pt_rays_per_second — the same canopy with solid leaf
+   interiors (realistic assets): fine OPAQUE-plane termination applies.
 4. hybrid_1080p_ms_per_frame — G-buffer + deferred PBR lighting + ray
    shadows + forward/env composite at 1920x1080 on a Sponza-class
    triangle count with a directional light.  BASELINE.md names no
@@ -152,10 +155,24 @@ def bench_foliage_pt() -> None:
     """San Miguel's actual hard part: alpha-test foliage.  Traversal
     rejects provably-transparent hits via in-kernel coverage masks
     (accel.alphamask; reference AnyHit.rahit:25-52) and the integrator's
-    bounded re-trace resolves boundary cells exactly."""
+    bounded re-trace resolves boundary cells exactly.  This is the
+    ADVERSARIAL texture (serrated: texel-scale perforations defeat every
+    opaque-coverage proof); bench_foliage_solid_pt is the realistic
+    counterpart."""
     from steeljax.scene.builtin import make_foliage_scene
     _bench_pt(make_foliage_scene(cards=500_000),
               "foliage_alpha_pt_rays_per_second")
+
+
+def bench_foliage_solid_pt() -> None:
+    """The same canopy with solid-interior leaf textures (the common
+    real-asset profile): the fine OPAQUE coverage plane (accel.alphamask)
+    lets leaf-interior hits terminate traversal exactly like opaque
+    geometry, so this config measures the engine on realistic foliage
+    while bench_foliage_pt keeps the adversarial floor honest."""
+    from steeljax.scene.builtin import make_foliage_scene
+    _bench_pt(make_foliage_scene(cards=500_000, serrated=False),
+              "foliage_solid_pt_rays_per_second")
 
 
 def bench_hybrid_1080p() -> None:
@@ -225,6 +242,7 @@ CONFIGS = {
     "stress": "bench_stress_pt",
     "stress_tex": "bench_stress_tex_pt",
     "foliage": "bench_foliage_pt",
+    "foliage_solid": "bench_foliage_solid_pt",
     "hybrid": "bench_hybrid_1080p",
     "parity": "bench_kernel_parity",
     "cornell": "bench_cornell_pt",
@@ -245,8 +263,8 @@ def main() -> None:
     # Headline metric LAST and never skipped; a parity failure fails the
     # whole run (rc != 0) BEFORE the headline prints.
     rc = 0
-    for name in ("stress", "stress_tex", "foliage", "hybrid", "parity",
-                 "cornell"):
+    for name in ("stress", "stress_tex", "foliage", "foliage_solid",
+                 "hybrid", "parity", "cornell"):
         proc = subprocess.run([sys.executable, __file__, name], check=False)
         if proc.returncode != 0 and name in ("parity", "cornell"):
             rc = proc.returncode

@@ -42,11 +42,58 @@ MASK_FULL = (1 << CELLS) - 1
 # bits [1, 22) = mask.  22 bits < 2^24, exact in a float32 lane.
 AUX_BITS = 1 + CELLS
 
+# --- fine two-plane masks (multi-hit kernel) -------------------------------
+# A PARALLEL int32 row table (pallas_traverse.pack_fine_mask_rows) gives
+# each triangle record 10 full int32 lanes: words 0-4 are the PASS plane
+# (bit 0 only when every bilinear alpha sample in the cell is < cutoff —
+# same conservative contract as the coarse aux mask, 7.3x the cells), and
+# words 5-9 the OPAQUE plane (bit 1 only when every bilinear sample is
+# >= cutoff, i.e. the integrator's exact test provably KEEPS the hit).
+# An opaque-plane hit therefore bounds t like an ordinary opaque surface:
+# the multi-hit kernel prunes traversal against min(slot K-1, nearest
+# opaque hit), restoring single-hit-strength pruning on solid leaf
+# interiors and on opaque materials (whose planes are all-ones).
+FINE_GRID = 17
+FINE_CELLS = 153         # 17 * 18 / 2 <= 160 = 5 * 32 bits
+FINE_WORDS = 5           # int32 words per plane
+FINE_STRIDE = 2 * FINE_WORDS  # record stride in the mask row (lanes)
+
 
 def cell_index(ci, cj):
     """Triangular packing of in-domain cells: row j holds GRID - j cells.
     Works for numpy and jnp integer arrays (and Pallas traced scalars)."""
     return cj * GRID + ci - ((cj * (cj - 1)) >> 1)
+
+
+def fine_cell(u, v, grid: int = FINE_GRID):
+    """(cell index, in-domain) for the fine triangular grid; jnp-traceable
+    (shared by the Pallas kernel, the parity oracle, and tests)."""
+    import jax.numpy as jnp
+
+    ci = jnp.clip((u * grid).astype(jnp.int32), 0, grid - 1)
+    cj = jnp.clip((v * grid).astype(jnp.int32), 0, grid - 1)
+    cell = cj * grid + ci - ((cj * (cj - 1)) >> 1)
+    return cell, (ci + cj) <= grid - 1
+
+
+def fine_mask_test(words, u, v):
+    """Two-plane fine test: (keep, opaque) from (..., FINE_STRIDE) int32
+    words (PASS plane words [0, FINE_WORDS), OPAQUE plane words
+    [FINE_WORDS, FINE_STRIDE)).  Out-of-domain cells (u + v == 1 edge via
+    fp rounding) keep and are never opaque."""
+    import jax.numpy as jnp
+
+    cell, in_dom = fine_cell(u, v)
+    word = cell >> 5
+    bit = cell & 31
+    p = jnp.zeros_like(cell)
+    o = jnp.zeros_like(cell)
+    for wd in range(FINE_WORDS):
+        p = jnp.where(word == wd, words[..., wd], p)
+        o = jnp.where(word == wd, words[..., wd + FINE_WORDS], o)
+    keep = (((p >> bit) & 1) == 1) | ~in_dom
+    opaque = (((o >> bit) & 1) == 1) & in_dom
+    return keep, opaque
 
 
 def mask_test(mask_int, u, v):
@@ -99,65 +146,149 @@ def _wrapped_ranges(lo, hi, n):
     return a0, a1, b0, b1
 
 
-def _cell_bits(uv: np.ndarray, ii: np.ndarray, w: int, h: int) -> np.ndarray:
-    """(T,) uint32 masks for triangles sharing one coverage integral image.
+def _cell_counts(uv: np.ndarray, ii: np.ndarray, w: int, h: int,
+                 grid: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-cell >=cutoff texel counts + footprint areas for one batch.
 
-    uv: (T, 3, 2) per-vertex texture coordinates.  Bit c is set when the
-    cell's repeat-wrapped texel footprint (dilated by the bilinear support
-    + 1 texel of fp slack) contains any >=cutoff texel."""
-    t = uv.shape[0]
-    q0 = uv[:, 0]                       # (T, 2)
+    uv: (B, 3, 2) per-vertex texture coordinates.  Returns (count, area),
+    each (B, cells) int64, over the triangular cells of `grid` in
+    cell_index order.  The footprint is the cell square's affine image,
+    repeat-wrapped, dilated by the bilinear support + 1 texel of fp slack
+    (strictly conservative for BOTH planes: `count > 0` over-approximates
+    "any sample >= cutoff", `count == area` under-approximates "every
+    sample >= cutoff")."""
+    q0 = uv[:, 0]                       # (B, 2)
     e1 = uv[:, 1] - uv[:, 0]
     e2 = uv[:, 2] - uv[:, 0]
 
-    # In-domain cells (i, j), i + j <= GRID-1, triangular order.
-    js, is_ = np.meshgrid(np.arange(GRID), np.arange(GRID), indexing="ij")
-    keep = (is_ + js) <= GRID - 1
-    ci = is_[keep].astype(np.float32)    # (CELLS,)
+    # In-domain cells (i, j), i + j <= grid-1, triangular order.
+    js, is_ = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
+    keep = (is_ + js) <= grid - 1
+    ci = is_[keep].astype(np.float32)    # (cells,)
     cj = js[keep].astype(np.float32)
+    inv = 1.0 / grid
 
-    inv = 1.0 / GRID
+    # Affine image of the cell square: per-axis extrema from the sign
+    # of the edge contributions (no (B, cells, 4, 2) corner tensor).
+    def axis_bounds(axis):
+        base = (q0[:, axis, None]
+                + ci[None, :] * inv * e1[:, axis, None]
+                + cj[None, :] * inv * e2[:, axis, None])
+        lo = (base + np.minimum(e1[:, axis, None], 0.0) * inv
+              + np.minimum(e2[:, axis, None], 0.0) * inv)
+        hi = (base + np.maximum(e1[:, axis, None], 0.0) * inv
+              + np.maximum(e2[:, axis, None], 0.0) * inv)
+        return lo, hi
+
+    ulo, uhi = axis_bounds(0)
+    vlo, vhi = axis_bounds(1)
+    # Bilinear footprint of uv: texels floor(u*w - 0.5) and +1; dilate
+    # one extra texel for fp slack (cheap, strictly conservative).
+    x_lo = np.floor(ulo * w - 0.5).astype(np.int64) - 1
+    x_hi = np.floor(uhi * w - 0.5).astype(np.int64) + 2
+    y_lo = np.floor(vlo * h - 0.5).astype(np.int64) - 1
+    y_hi = np.floor(vhi * h - 0.5).astype(np.int64) + 2
+
+    xa0, xa1, xb0, xb1 = _wrapped_ranges(x_lo, x_hi, w)
+    ya0, ya1, yb0, yb1 = _wrapped_ranges(y_lo, y_hi, h)
+    count = (_rect_count(ii, ya0, ya1, xa0, xa1)
+             + _rect_count(ii, ya0, ya1, xb0, xb1)
+             + _rect_count(ii, yb0, yb1, xa0, xa1)
+             + _rect_count(ii, yb0, yb1, xb0, xb1))
+    area = (np.minimum(x_hi - x_lo + 1, w)
+            * np.minimum(y_hi - y_lo + 1, h))
+    return count, area
+
+
+_BATCH = 262144  # triangle batch bound for (B, cells) temporaries
+
+
+def _cell_bits(uv: np.ndarray, ii: np.ndarray, w: int, h: int) -> np.ndarray:
+    """(T,) uint32 coarse masks for triangles sharing one coverage
+    integral image: bit c set when the cell's footprint contains any
+    >=cutoff texel."""
+    t = uv.shape[0]
     masks = np.zeros(t, np.uint32)
-    # Batch the triangle axis to bound temporaries ((B, CELLS) arrays).
-    batch = 262144
-    for s in range(0, t, batch):
-        e = min(s + batch, t)
-        # Affine image of the cell square: per-axis extrema from the sign
-        # of the edge contributions (no (B, CELLS, 4, 2) corner tensor).
-        q0b = q0[s:e]
-        e1b = e1[s:e]
-        e2b = e2[s:e]
-
-        def axis_bounds(axis):
-            base = (q0b[:, axis, None]
-                    + ci[None, :] * inv * e1b[:, axis, None]
-                    + cj[None, :] * inv * e2b[:, axis, None])
-            lo = (base + np.minimum(e1b[:, axis, None], 0.0) * inv
-                  + np.minimum(e2b[:, axis, None], 0.0) * inv)
-            hi = (base + np.maximum(e1b[:, axis, None], 0.0) * inv
-                  + np.maximum(e2b[:, axis, None], 0.0) * inv)
-            return lo, hi
-
-        ulo, uhi = axis_bounds(0)
-        vlo, vhi = axis_bounds(1)
-        # Bilinear footprint of uv: texels floor(u*w - 0.5) and +1; dilate
-        # one extra texel for fp slack (cheap, strictly conservative).
-        x_lo = np.floor(ulo * w - 0.5).astype(np.int64) - 1
-        x_hi = np.floor(uhi * w - 0.5).astype(np.int64) + 2
-        y_lo = np.floor(vlo * h - 0.5).astype(np.int64) - 1
-        y_hi = np.floor(vhi * h - 0.5).astype(np.int64) + 2
-
-        xa0, xa1, xb0, xb1 = _wrapped_ranges(x_lo, x_hi, w)
-        ya0, ya1, yb0, yb1 = _wrapped_ranges(y_lo, y_hi, h)
-        count = (_rect_count(ii, ya0, ya1, xa0, xa1)
-                 + _rect_count(ii, ya0, ya1, xb0, xb1)
-                 + _rect_count(ii, yb0, yb1, xa0, xa1)
-                 + _rect_count(ii, yb0, yb1, xb0, xb1))
+    for s in range(0, t, _BATCH):
+        e = min(s + _BATCH, t)
+        count, _ = _cell_counts(uv[s:e], ii, w, h, GRID)
         bits = (count > 0).astype(np.uint32)          # (B, CELLS)
-        out_bits = (bits << np.arange(CELLS, dtype=np.uint32)[None, :]
-                    ).sum(axis=1, dtype=np.uint32)
-        masks[s:e] = out_bits
+        masks[s:e] = (bits << np.arange(CELLS, dtype=np.uint32)[None, :]
+                      ).sum(axis=1, dtype=np.uint32)
     return masks
+
+
+def _pack_plane(bits: np.ndarray, words: int) -> np.ndarray:
+    """(B, cells) 0/1 -> (B, words) int32 little-endian bit packing."""
+    b, cells = bits.shape
+    padded = np.zeros((b, words * 32), np.uint32)
+    padded[:, :cells] = bits
+    shifts = np.arange(32, dtype=np.uint32)[None, None, :]
+    return (padded.reshape(b, words, 32) << shifts).sum(
+        axis=2, dtype=np.uint32).astype(np.int32)
+
+
+def _fine_planes(uv: np.ndarray, ii: np.ndarray, w: int,
+                 h: int) -> np.ndarray:
+    """(T, FINE_STRIDE) int32 two-plane fine masks (see module header)."""
+    t = uv.shape[0]
+    out = np.zeros((t, FINE_STRIDE), np.int32)
+    for s in range(0, t, _BATCH):
+        e = min(s + _BATCH, t)
+        count, area = _cell_counts(uv[s:e], ii, w, h, FINE_GRID)
+        out[s:e, :FINE_WORDS] = _pack_plane(
+            (count > 0).astype(np.uint32), FINE_WORDS)
+        out[s:e, FINE_WORDS:] = _pack_plane(
+            (count >= area).astype(np.uint32), FINE_WORDS)
+    return out
+
+
+def compute_fine_masks(tri_uv, tri_mat, mat_base_color, mat_params,
+                       mat_tex, mat_flags, textures) -> np.ndarray:
+    """(T, FINE_STRIDE) int32 two-plane fine masks (module header), same
+    material semantics as compute_alpha_masks.  Non-participating
+    triangles (opaque materials, alpha materials the integrator's exact
+    test ignores) get PASS = OPAQUE = all-ones: their hits are final and
+    bound traversal like any opaque surface."""
+    from steeljax.scene.material import MaterialFlags
+
+    tri_mat = np.asarray(tri_mat, np.int64)
+    t = tri_mat.shape[0]
+    out = np.full((t, FINE_STRIDE), -1, np.int32)
+    if t == 0 or not textures:
+        return out
+    tri_uv = np.asarray(tri_uv, np.float32)
+    mat_flags = np.asarray(mat_flags, np.int64)
+    mat_tex = np.asarray(mat_tex, np.int64)
+    params = np.asarray(mat_params, np.float32)
+    base = np.asarray(mat_base_color, np.float32)
+
+    ii_cache: dict[tuple[int, float], np.ndarray] = {}
+    for m in range(len(mat_flags)):
+        if not (mat_flags[m] & int(MaterialFlags.ALPHA_TEST)):
+            continue
+        tex_id = int(mat_tex[m, 0])
+        if tex_id < 0:
+            continue
+        cutoff = float(params[m, 4])
+        factor = float(base[m, 3])
+        sel = np.nonzero(tri_mat == m)[0]
+        if not len(sel):
+            continue
+        if cutoff <= 0.0:
+            continue  # nothing is ever rejected: keep all-ones
+        if factor <= 0.0 or cutoff / factor > 1.0 + 1e-6:
+            out[sel] = 0  # fully transparent: reject everywhere
+            continue
+        thr = cutoff / factor
+        key = (tex_id, round(thr, 6))
+        if key not in ii_cache:
+            ii_cache[key] = _coverage_integral(
+                np.asarray(textures[tex_id]), thr)
+        tex = np.asarray(textures[tex_id])
+        h, w = tex.shape[:2]
+        out[sel] = _fine_planes(tri_uv[sel], ii_cache[key], w, h)
+    return out
 
 
 def compute_alpha_masks(tri_uv, tri_mat, mat_base_color, mat_params,

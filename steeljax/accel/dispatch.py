@@ -67,6 +67,10 @@ class ChunkTables:
     # reads the same bits from the AUX lane of tris_packed.  Host numpy on
     # the TPU path (jit prunes unused args — never uploaded).
     tri_mask: jnp.ndarray | None = None
+    # Two-plane fine mask rows ((rows/12, 128) int32,
+    # pallas_traverse.pack_fine_mask_rows) for the multi-hit alpha path:
+    # +42.7 B/tri of VMEM, built only for alpha-masked Pallas chunks.
+    fine_mask_rows: jnp.ndarray | None = None
     row_offset: int = struct.field(pytree_node=False, default=0)
     rows: int = struct.field(pytree_node=False, default=0)
     # Chunk AABB (static floats) for the per-ray pre-cull.
@@ -124,6 +128,7 @@ def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
                    use_pallas: bool | None = None, method: str = "auto",
                    treelets: bool | None = None,
                    tri_alpha_mask: np.ndarray | None = None,
+                   tri_fine_mask: np.ndarray | None = None,
                    snode_width: int | None = None
                    ) -> tuple["TraceTables", np.ndarray, int]:
     """Build (possibly chunked) acceleration tables.
@@ -160,6 +165,13 @@ def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
             else np.asarray(tri_alpha_mask, np.uint32))
     if mask is not None and count and int(mask.min()) == MASK_FULL:
         mask = None  # every triangle fully covered: masking is a no-op
+    # Fine two-plane rows ride along only when coarse masking is live
+    # (same gate: all-covered scenes need neither) and the Pallas path
+    # will consume them.  `tri_fine_mask` is (T, FINE_STRIDE) int32 from
+    # alphamask.compute_fine_masks.
+    fine = (np.asarray(tri_fine_mask, np.int32)
+            if (tri_fine_mask is not None and mask is not None
+                and use_pallas) else None)
 
     if treelets and use_pallas:
         return _prepare_treelet_tables(tri_pos, ds, leaf_size, method,
@@ -195,6 +207,8 @@ def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
         permuted_ds = np.zeros(padded, bool)
         permuted_mask = (np.zeros(padded, np.uint32)
                          if mask is not None else None)
+        permuted_fine = (np.zeros((padded, fine.shape[1]), np.int32)
+                         if fine is not None else None)
         if len(sub_order):
             real = sub_order >= 0
             permuted_pos[np.nonzero(real)[0]] = sub_pos[sub_order[real]]
@@ -203,6 +217,10 @@ def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
                 sub_mask = mask[piece] if count else mask
                 permuted_mask[np.nonzero(real)[0]] = \
                     sub_mask[sub_order[real]]
+            if fine is not None:
+                sub_fine = fine[piece] if count else fine
+                permuted_fine[np.nonzero(real)[0]] = \
+                    sub_fine[sub_order[real]]
         rows8, depth8 = collapse_bvh8(np.asarray(bvh.nodes), leaf_size,
                                       width=snode_width)
         if len(piece):
@@ -222,6 +240,9 @@ def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
                       else (permuted_mask if use_pallas
                             else jnp.asarray(permuted_mask.astype(
                                 np.int32)))),
+            fine_mask_rows=(None if permuted_fine is None
+                            else jnp.asarray(ptv.pack_fine_mask_rows(
+                                permuted_fine))),
             row_offset=offset, rows=padded, aabb=(lo, hi)))
         offset += padded
 
@@ -412,7 +433,8 @@ def trace_nearest(tables, tri_pos, tri_double_sided, o, d,
                     cull_backface=cull_backface, packet_sublanes=subl,
                     shade_rows=chunk.shade_packed, shade_mode=mode,
                     shared_origin=shared_origin,
-                    alpha_mask=tables.alpha_masked)
+                    alpha_mask=tables.alpha_masked,
+                    fine_mask_rows=chunk.fine_mask_rows)
             return traverse.trace_nearest(
                 chunk.bvh, _chunk_slice(tri_pos, chunk),
                 _chunk_slice(tri_double_sided, chunk), o, d, t_min,
@@ -482,7 +504,8 @@ def trace_any(tables, tri_pos, tri_double_sided, o, d,
                 return ptv.trace_nearest_packet8(
                     chunk.bvh8, chunk.tris_packed, o, d, t_min, chunk_tmax,
                     cull_backface=False, any_hit=True,
-                    alpha_mask=tables.alpha_masked)["hit"]
+                    alpha_mask=tables.alpha_masked,
+                    fine_mask_rows=chunk.fine_mask_rows)["hit"]
             return traverse.trace_any(
                 chunk.bvh, _chunk_slice(tri_pos, chunk),
                 _chunk_slice(tri_double_sided, chunk), o, d, t_min,

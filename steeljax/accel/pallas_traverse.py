@@ -105,6 +105,22 @@ def pack_tris(tri_pos: np.ndarray, tri_double_sided: np.ndarray,
     return _pack_rows(packed, TRI_PER_ROW)
 
 
+def pack_fine_mask_rows(fine_masks: np.ndarray) -> np.ndarray:
+    """(T, FINE_STRIDE) int32 two-plane fine masks (accel.alphamask) ->
+    (ceil(T/TRI_PER_ROW), 128) int32 rows parallel to pack_tris: record j
+    of a row occupies lanes [FINE_STRIDE*j, FINE_STRIDE*j + FINE_STRIDE).
+    Pad records get PASS = 0 (their MT test can never hit anyway)."""
+    m = np.asarray(fine_masks, np.int32)
+    t, stride = m.shape
+    rows = -(-max(t, 1) // TRI_PER_ROW)
+    padded = np.zeros((rows * TRI_PER_ROW, stride), np.int32)
+    padded[:t] = m
+    out = np.zeros((rows, LANES), np.int32)
+    out[:, :TRI_PER_ROW * stride] = padded.reshape(
+        rows, TRI_PER_ROW * stride)
+    return out
+
+
 def pack_shade_records(tri_nrm, tri_tan, tri_uv, tri_mat,
                        textured: bool, tri_uvd=None) -> np.ndarray:
     """Per-triangle shading records for the FUSED trace+shade kernel.
@@ -180,10 +196,33 @@ def batcher_network(n: int) -> tuple[tuple[int, int], ...]:
 # Don't revisit cheap/approximate child ordering.
 
 
+def _fine_test(mrow, j: int, u, v, want_opaque: bool):
+    """Two-plane fine mask test for record j of an int32 mask row
+    (pack_fine_mask_rows): (keep, opaque-or-None).  Word selection is a
+    static-offset select chain (Mosaic cannot index lanes dynamically);
+    the bit shift is a plain dynamic vector shift."""
+    moff = alphamask.FINE_STRIDE * j
+    cell, in_dom = alphamask.fine_cell(u, v)
+    word = cell >> 5
+    bit = cell & 31
+    pw = jnp.zeros_like(cell)
+    for wd in range(alphamask.FINE_WORDS):
+        pw = jnp.where(word == wd, mrow[moff + wd], pw)
+    keep = (((pw >> bit) & 1) == 1) | ~in_dom
+    if not want_opaque:
+        return keep, None
+    ow = jnp.zeros_like(cell)
+    for wd in range(alphamask.FINE_WORDS):
+        ow = jnp.where(word == wd, mrow[moff + alphamask.FINE_WORDS + wd],
+                       ow)
+    return keep, (((ow >> bit) & 1) == 1) & in_dom
+
+
 def _traverse_kernel8(*refs, max_leaf: int,
                       cull_backface: bool, any_hit: bool = False,
                       shade_mode: int = 0, shared_origin: bool = False,
-                      alpha_mask: bool = False, width: int = 8):
+                      alpha_mask: bool = False, width: int = 8,
+                      fine: bool = False):
     """Packet traversal over wide supernode rows (steeljax.accel.bvh.BVH8).
 
     Stack entries encode both node kinds: >= 0 is a supernode id; < 0 is a
@@ -204,6 +243,7 @@ def _traverse_kernel8(*refs, max_leaf: int,
     snodes_ref = next(it)
     tris_ref = next(it)
     shade_ref = next(it) if shade_mode else None
+    masks_ref = next(it) if fine else None
     ox, oy, oz, dx, dy, dz, tmn, tmx = (next(it) for _ in range(8))
     out_t, out_u, out_v, out_i = (next(it) for _ in range(4))
     if shade_mode:
@@ -334,6 +374,7 @@ def _traverse_kernel8(*refs, max_leaf: int,
 
             def intersect_row(r):
                 trow = tris_ref[row_base + r]  # (128,) = TRI_PER_ROW recs
+                mrow = masks_ref[row_base + r] if fine else None
                 if shade_mode == 1:
                     srow0 = shade_ref[row_base + r]
                 elif shade_mode == 2:
@@ -396,6 +437,12 @@ def _traverse_kernel8(*refs, max_leaf: int,
                         # cells.  ~12 extra VPU ops; the mask shift rides
                         # the scalar broadcast of aux.
                         hit = hit & alphamask.mask_test(amask, u, v)
+                    if fine:
+                        # Fine PASS plane (7.3x the aux cells): cuts the
+                        # false-nearest-winner rate, so the integrator's
+                        # bounded re-trace fires on far fewer rays.
+                        keep, _ = _fine_test(mrow, j, u, v, False)
+                        hit = hit & keep
                     if any_hit:
                         # Occlusion query: ANY hit finishes the lane, so
                         # sink its best-t to -inf — the lane then fails
@@ -509,7 +556,9 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
                    packet_sublanes: int = SUBLANES,
                    shade_rows: jnp.ndarray | None = None,
                    shade_mode: int = 0, shared_origin: bool = False,
-                   alpha_mask: bool = False, width: int = 8):
+                   alpha_mask: bool = False, width: int = 8,
+                   fine_mask_rows=None):
+    fine = fine_mask_rows is not None
     count = o.shape[0]
     block = LANES * packet_sublanes
     padded = -(-count // block) * block
@@ -539,7 +588,7 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
         _traverse_kernel8, max_leaf=max_leaf,
         cull_backface=cull_backface, any_hit=any_hit,
         shade_mode=shade_mode, shared_origin=shared_origin,
-        alpha_mask=alpha_mask, width=width)
+        alpha_mask=alpha_mask, width=width, fine=fine)
 
     f32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     i32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
@@ -568,6 +617,9 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
     in_specs = [full, full]
     if shade_mode:
         inputs.append(shade_rows)
+        in_specs.append(full)
+    if fine:
+        inputs.append(fine_mask_rows)
         in_specs.append(full)
 
     outs = pl.pallas_call(
@@ -605,13 +657,16 @@ def trace_nearest_packet8(bvh8, tris_packed, o, d, t_min, t_max,
                           packet_sublanes: int = SUBLANES,
                           shade_rows=None, shade_mode: int = 0,
                           shared_origin: bool = False,
-                          alpha_mask: bool = False):
+                          alpha_mask: bool = False,
+                          fine_mask_rows=None):
     """BVH8 packet traversal; same contract as traverse.trace_nearest.
     With shade_mode > 0 (and shade_rows from pack_shade_records) the
     record also carries fused shading attributes: "n" + "mat" (mode 1),
     plus "tan" + "uv" (mode 2).  alpha_mask=True decodes the AUX lane's
     conservative coverage mask (tris_packed must have been packed with
-    tri_alpha_mask) and rejects sub-cutoff candidates in-kernel."""
+    tri_alpha_mask) and rejects sub-cutoff candidates in-kernel;
+    `fine_mask_rows` (pack_fine_mask_rows) additionally rejects on the
+    7.3x-resolution fine PASS plane."""
     return _trace_packed8(bvh8.rows, tris_packed, o, d,
                           jnp.asarray(t_min, jnp.float32),
                           jnp.asarray(t_max, jnp.float32),
@@ -620,7 +675,8 @@ def trace_nearest_packet8(bvh8, tris_packed, o, d, t_min, t_max,
                           shade_rows=shade_rows, shade_mode=shade_mode,
                           shared_origin=shared_origin,
                           alpha_mask=alpha_mask,
-                          width=getattr(bvh8, "width", 8))
+                          width=getattr(bvh8, "width", 8),
+                          fine_mask_rows=fine_mask_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -639,7 +695,8 @@ def trace_nearest_packet8(bvh8, tris_packed, o, d, t_min, t_max,
 
 
 def _multihit_kernel(*refs, max_leaf: int, k_hits: int,
-                     cull_backface: bool, alpha_mask: bool, width: int):
+                     cull_backface: bool, alpha_mask: bool, width: int,
+                     fine: bool = False):
     """Packet traversal collecting the K nearest surviving hits per lane.
 
     Slot state: K (t, u, v, tri) quadruples per lane, sorted ascending by
@@ -648,11 +705,21 @@ def _multihit_kernel(*refs, max_leaf: int, k_hits: int,
     t — any useful hit must enter the list.  Opaque and alpha triangles
     share the list: the integrator's exact test never rejects opaque
     materials, so no per-record flag is needed.
+
+    With fine=True a parallel int32 mask-row table (pack_fine_mask_rows)
+    supplies two planes per record (accel.alphamask FINE_*): PASS bits
+    reject provably-transparent candidates at 7.3x the aux lane's cell
+    resolution, and OPAQUE bits (exact test provably keeps the hit) feed
+    a per-ray opaque bound `ob` — traversal prunes against min(slot K-1,
+    ob) and final slots are filtered to t <= ob, which is deterministic:
+    the output equals the K nearest PASS-hits with t <= min over ALL
+    opaque hits (the parity oracle recomputes exactly that).
     """
     f32 = jnp.float32
     it = iter(refs)
     snodes_ref = next(it)
     tris_ref = next(it)
+    masks_ref = next(it) if fine else None
     ox, oy, oz, dx, dy, dz, tmn, tmx = (next(it) for _ in range(8))
     out_t = [next(it) for _ in range(k_hits)]
     out_u = [next(it) for _ in range(k_hits)]
@@ -664,6 +731,7 @@ def _multihit_kernel(*refs, max_leaf: int, k_hits: int,
     su = [next(it) for _ in range(k_hits)]
     sv = [next(it) for _ in range(k_hits)]
     si = [next(it) for _ in range(k_hits)]
+    ob_ref = next(it) if fine else None
 
     def safe_inv(d):
         return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
@@ -680,6 +748,8 @@ def _multihit_kernel(*refs, max_leaf: int, k_hits: int,
         su[k][:] = jnp.zeros_like(tmx[:])
         sv[k][:] = jnp.zeros_like(tmx[:])
         si[k][:] = jnp.full(tmx.shape, -1, jnp.int32)
+    if fine:
+        ob_ref[:] = tmx[:]
 
     stack_ref[0] = 0
     sp_ref[0] = 1
@@ -698,6 +768,8 @@ def _multihit_kernel(*refs, max_leaf: int, k_hits: int,
             big = jnp.float32(3.0e38)
             stride = LANES // width
             bound = st[k_hits - 1][:]
+            if fine:
+                bound = jnp.minimum(bound, ob_ref[:])
             keys = []
             vals = []
             for c in range(width):
@@ -749,6 +821,7 @@ def _multihit_kernel(*refs, max_leaf: int, k_hits: int,
 
             def intersect_row(r):
                 trow = tris_ref[row_base + r]
+                mrow = masks_ref[row_base + r] if fine else None
                 for j in range(TRI_PER_ROW):
                     l = r * TRI_PER_ROW + j
                     off = TRI_STRIDE * j
@@ -794,12 +867,21 @@ def _multihit_kernel(*refs, max_leaf: int, k_hits: int,
                     old_i = [si[k][:] for k in range(k_hits)]
                     hit = (facing & (u >= 0.0) & (v >= 0.0)
                            & (u + v <= 1.0) & (t >= tmn[:])
-                           & (t < old_t[k_hits - 1]) & (l < cnt))
+                           & (l < cnt))
                     if alpha_mask:
                         # Provably-transparent candidates never enter the
                         # list (the integrator's exact test would have
                         # rejected them anyway — accel.alphamask).
                         hit = hit & alphamask.mask_test(amask, u, v)
+                    if fine:
+                        keep, opq = _fine_test(mrow, j, u, v, True)
+                        hit = hit & keep
+                        opq = hit & opq
+                        # Every opaque-plane hit bounds traversal, slot
+                        # member or not (it occludes everything behind).
+                        ob_ref[:] = jnp.where(opq & (t < ob_ref[:]), t,
+                                              ob_ref[:])
+                    hit = hit & (t < old_t[k_hits - 1])
                     tri_id = row_base * TRI_PER_ROW + jnp.int32(l)
                     # Sorted insertion: shift slots >= insert index down
                     # one, then place.  Shift and place conditions are
@@ -829,10 +911,15 @@ def _multihit_kernel(*refs, max_leaf: int, k_hits: int,
 
     for k in range(k_hits):
         found = si[k][:] >= 0
+        if fine:
+            # Slots behind the nearest opaque hit are occluded; dropping
+            # them here makes the output order-independent (= the oracle's
+            # K nearest PASS-hits with t <= min opaque t).
+            found = found & (st[k][:] <= ob_ref[:])
         out_t[k][:] = jnp.where(found, st[k][:], f32(-1.0))
         out_u[k][:] = su[k][:]
         out_v[k][:] = sv[k][:]
-        out_i[k][:] = si[k][:]
+        out_i[k][:] = jnp.where(found, si[k][:], -1)
 
 
 @functools.partial(
@@ -843,7 +930,9 @@ def _trace_multihit(snode_rows, tris_packed, o, d, t_min, t_max,
                     max_leaf: int, depth: int, k_hits: int,
                     cull_backface: bool,
                     packet_sublanes: int = SUBLANES,
-                    alpha_mask: bool = False, width: int = 8):
+                    alpha_mask: bool = False, width: int = 8,
+                    fine_mask_rows=None):
+    fine = fine_mask_rows is not None
     count = o.shape[0]
     block = LANES * packet_sublanes
     padded = -(-count // block) * block
@@ -869,7 +958,8 @@ def _trace_multihit(snode_rows, tris_packed, o, d, t_min, t_max,
 
     kernel = functools.partial(
         _multihit_kernel, max_leaf=max_leaf, k_hits=k_hits,
-        cull_backface=cull_backface, alpha_mask=alpha_mask, width=width)
+        cull_backface=cull_backface, alpha_mask=alpha_mask, width=width,
+        fine=fine)
 
     f32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     i32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
@@ -882,17 +972,22 @@ def _trace_multihit(snode_rows, tris_packed, o, d, t_min, t_max,
     ]
     scratch += [vmem(jnp.float32)] * (3 * k_hits)
     scratch += [vmem(jnp.int32)] * k_hits
+    if fine:
+        scratch.append(vmem(jnp.float32))  # opaque bound
 
+    tables = [snode_rows, tris_packed]
+    if fine:
+        tables.append(fine_mask_rows)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[full, full] + [ray_spec] * 8,
+        in_specs=[full] * len(tables) + [ray_spec] * 8,
         out_specs=[ray_spec] * len(out_shape),
         out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
-    )(snode_rows, tris_packed, *comps)
+    )(*tables, *comps)
 
     def unpad(x):
         return x.reshape(-1)[:count]
@@ -907,12 +1002,16 @@ def _trace_multihit(snode_rows, tris_packed, o, d, t_min, t_max,
 def trace_multihit_packet8(bvh8, tris_packed, o, d, t_min, t_max,
                            k_hits: int, cull_backface: bool = True,
                            packet_sublanes: int = SUBLANES,
-                           alpha_mask: bool = False):
+                           alpha_mask: bool = False,
+                           fine_mask_rows=None):
     """K-nearest packet traversal: returns {"t", "u", "v", "tri"} stacked
     (k_hits, N) arrays sorted ascending by t per ray; slot k's tri is -1
     (t -1.0) when the ray has fewer than k+1 surviving hits.  With
     alpha_mask=True, coverage-mask-rejected candidates never enter the
-    list (tris_packed must carry AUX masks)."""
+    list (tris_packed must carry AUX masks).  `fine_mask_rows` (int32
+    rows, pack_fine_mask_rows) additionally enables the two-plane fine
+    test + opaque pruning bound — slots then hold the K nearest fine-PASS
+    hits at t <= the nearest opaque-plane hit."""
     return _trace_multihit(bvh8.rows, tris_packed, o, d,
                            jnp.asarray(t_min, jnp.float32),
                            jnp.asarray(t_max, jnp.float32),
@@ -920,7 +1019,8 @@ def trace_multihit_packet8(bvh8, tris_packed, o, d, t_min, t_max,
                            cull_backface,
                            packet_sublanes=packet_sublanes,
                            alpha_mask=alpha_mask,
-                           width=getattr(bvh8, "width", 8))
+                           width=getattr(bvh8, "width", 8),
+                           fine_mask_rows=fine_mask_rows)
 
 
 # ---------------------------------------------------------------------------

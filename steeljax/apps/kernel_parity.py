@@ -59,11 +59,18 @@ def _norm(x):
     return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-20)
 
 
-def _multihit_oracle(tri_pos, ds, o, d, tmn, tmx, k, cull, mask):
+def _multihit_oracle(tri_pos, ds, o, d, tmn, tmx, k, cull, mask,
+                     fine=None, use_opaque=False):
     """Exhaustive K-nearest reference: per ray, Moller-Trumbore against
     every triangle (numpy, ray-batched), coverage-mask filter, k-smallest
     by t.  Returns dict of (k, N) arrays with -1.0 t / -1 tri padding —
-    the trace_multihit_packet8 contract."""
+    the trace_multihit_packet8 contract.
+
+    `fine` ((T, FINE_STRIDE) int32, accel.alphamask two-plane layout)
+    additionally applies the fine PASS plane; with use_opaque=True the
+    OPAQUE plane defines ob = min t over opaque hits and the output keeps
+    only hits with t <= ob — the deterministic contract of the fine
+    multi-hit kernel."""
     tri_pos = np.asarray(tri_pos, np.float32)
     ds = np.asarray(ds, bool)
     n = len(o)
@@ -104,6 +111,29 @@ def _multihit_oracle(tri_pos, ds, o, d, tmn, tmx, k, cull, mask):
             bit = (mask[None].astype(np.int64)
                    >> cell_index(ci, cj)) & 1
             hit &= (bit == 1) | ((ci + cj) > (GRID - 1))
+        if fine is not None:
+            from steeljax.accel.alphamask import (FINE_GRID, FINE_WORDS)
+            fine = np.asarray(fine, np.int64) & 0xFFFFFFFF
+            ci = np.clip(np.nan_to_num(uu) * FINE_GRID, 0,
+                         FINE_GRID - 1).astype(np.int32)
+            cj = np.clip(np.nan_to_num(vv) * FINE_GRID, 0,
+                         FINE_GRID - 1).astype(np.int32)
+            cell = cj * FINE_GRID + ci - ((cj * (cj - 1)) >> 1)
+            in_dom = (ci + cj) <= FINE_GRID - 1
+            # Out-of-domain cells (u + v > 1 garbage on non-hits) can
+            # index word FINE_WORDS; clip — their result is gated by
+            # in_dom anyway (kernel: unmatched select chain -> 0).
+            word = np.minimum(cell >> 5, FINE_WORDS - 1)
+            tri_ids = np.arange(fine.shape[0])[None, :]
+            pw = fine[tri_ids, word]
+            keep = (((pw >> (cell & 31)) & 1) == 1) | ~in_dom
+            hit &= keep
+            if use_opaque:
+                ow = fine[tri_ids, FINE_WORDS + word]
+                opq = hit & (((ow >> (cell & 31)) & 1) == 1) & in_dom
+                obound = np.where(opq, tt, np.inf).min(axis=1,
+                                                       keepdims=True)
+                hit &= tt <= obound
         tt = np.where(hit, tt, np.inf)
         idx = np.argsort(tt, axis=1, kind="stable")[:, :k]
         rows = np.arange(e - s)[:, None]
@@ -387,6 +417,57 @@ def run(n_rays: int = 10240, n_tris: int = 30000) -> dict:
     all_ok &= _compare("flat_shade0_width16", rec_k, rec_o, wperm["pos"],
                        variants)
 
+    # --- two-plane fine masks (multi-hit alpha path) ----------------------
+    # Random planes: PASS ~75% ones, OPAQUE ~25% (independent — the kernel
+    # only consults OPAQUE bits on PASS hits, so no containment needed).
+    fmask_np = (r.integers(0, 1 << 31, (n_tris, 10), dtype=np.int64)
+                | r.integers(0, 1 << 31, (n_tris, 10), dtype=np.int64)
+                ).astype(np.int32)
+    fmask_np[:, 5:] = (fmask_np[:, 5:]
+                       & r.integers(0, 1 << 31, (n_tris, 5),
+                                    dtype=np.int64).astype(np.int32))
+    ftables, forder, fpadded = prepare_tables(
+        tris, ds, leaf_size=24, use_pallas=True, tri_alpha_mask=amask_np,
+        tri_fine_mask=fmask_np)
+    assert ftables.chunks[0].fine_mask_rows is not None
+    freal = forder >= 0
+    fperm_pos = np.full((fpadded, 3, 3), 3.0e37, np.float32)
+    fperm_ds = np.zeros(fpadded, bool)
+    fperm_fine = np.zeros((fpadded, 10), np.int32)
+    fperm_pos[np.nonzero(freal)[0]] = tris[forder[freal]]
+    fperm_ds[np.nonzero(freal)[0]] = ds[forder[freal]]
+    fperm_fine[np.nonzero(freal)[0]] = fmask_np[forder[freal]]
+    fcoarse = np.asarray(ftables.chunks[0].tri_mask)
+
+    # single-hit nearest with the fine PASS plane (coarse aux + fine)
+    rec_k = ptv.trace_nearest_packet8(
+        ftables.bvh8, ftables.tris_packed, o, d, 0.001, 1000.0,
+        cull_backface=True, alpha_mask=True,
+        fine_mask_rows=ftables.chunks[0].fine_mask_rows)
+    slots_o = _multihit_oracle(fperm_pos, fperm_ds, o_np, d_np,
+                               0.001, 1000.0, 1, True, fcoarse,
+                               fine=fperm_fine)
+    rec_o = {"t": slots_o["t"][0], "u": slots_o["u"][0],
+             "v": slots_o["v"][0], "tri": slots_o["tri"][0],
+             "hit": slots_o["tri"][0] >= 0}
+    all_ok &= _compare("flat_fine_mask", rec_k, rec_o, fperm_pos, variants)
+
+    # any-hit occlusion with fine masks
+    occ_fo = np.asarray(_multihit_oracle(
+        fperm_pos, fperm_ds, o_np, d_np, 0.001, 40.0, 1, False, fcoarse,
+        fine=fperm_fine)["tri"][0] >= 0)
+    occ_fk = np.asarray(ptv.trace_nearest_packet8(
+        ftables.bvh8, ftables.tris_packed, o, d, 0.001, 40.0,
+        cull_backface=False, any_hit=True, alpha_mask=True,
+        fine_mask_rows=ftables.chunks[0].fine_mask_rows)["hit"])
+    mm = int((occ_fo != occ_fk).sum())
+    entry = {"rays": n_rays, "hit_mismatches": mm,
+             "ok": mm <= max(2, n_rays // 5000)}
+    variants["flat_fine_mask_anyhit"] = entry
+    print(f"{'PASS' if entry['ok'] else 'FAIL'} flat_fine_mask_anyhit: "
+          f"{entry}")
+    all_ok &= entry["ok"]
+
     # --- multi-hit K-nearest slots vs brute force -------------------------
     # The alpha path's kernel (trace_multihit_packet8): K nearest
     # surviving candidates per ray, sorted ascending.  Oracle = exhaustive
@@ -394,16 +475,20 @@ def run(n_rays: int = 10240, n_tris: int = 30000) -> dict:
     kmh = 4
     mh_n = 2048
     o_m, d_m = o_np[:mh_n], d_np[:mh_n]
-    for label, tab, prm, msk in (
-            ("flat_multihit", tables, perm, None),
+    for label, tab, prm, msk, fmr, fm in (
+            ("flat_multihit", tables, perm, None, None, None),
             ("flat_multihit_masked", mtables, mperm,
-             np.asarray(mtables.chunks[0].tri_mask))):
+             np.asarray(mtables.chunks[0].tri_mask), None, None),
+            ("flat_multihit_fine",
+             ftables, {"pos": fperm_pos, "ds": fperm_ds}, fcoarse,
+             ftables.chunks[0].fine_mask_rows, fperm_fine)):
         slots_k = ptv.trace_multihit_packet8(
             tab.bvh8, tab.tris_packed, jnp.asarray(o_m), jnp.asarray(d_m),
             0.001, 1000.0, k_hits=kmh, cull_backface=True,
-            alpha_mask=msk is not None)
+            alpha_mask=msk is not None, fine_mask_rows=fmr)
         slots_o = _multihit_oracle(prm["pos"], prm["ds"], o_m, d_m,
-                                   0.001, 1000.0, kmh, True, msk)
+                                   0.001, 1000.0, kmh, True, msk,
+                                   fine=fm, use_opaque=fm is not None)
         tk = np.asarray(slots_k["t"])
         to_ = slots_o["t"]
         hk = tk > 0

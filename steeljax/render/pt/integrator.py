@@ -430,7 +430,8 @@ def _trace_material_multihit(scene: FlatScene, tables: TraceTables, o, d,
         return ptv.trace_multihit_packet8(
             chunk.bvh8, chunk.tris_packed, o, d, tmn, tmx,
             k_hits=k_hits, cull_backface=cull_backface,
-            packet_sublanes=subl, alpha_mask=tables.alpha_masked)
+            packet_sublanes=subl, alpha_mask=tables.alpha_masked,
+            fine_mask_rows=chunk.fine_mask_rows)
 
     slots = mtrace(o, d, tmin0, tmax)
     rec, exhausted = _resolve_multihit(scene, tables, slots)

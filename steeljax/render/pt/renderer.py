@@ -11,6 +11,7 @@ filmic tone map for display output (RayGen.rgen:420-424).
 from __future__ import annotations
 
 import dataclasses
+import os
 from pathlib import Path
 
 import jax
@@ -93,16 +94,24 @@ def prepare_scene(scene: Scene, env_resolution: int = 256,
     # shader (AnyHit.rahit:25-52) — leaving the integrator's exact
     # bounded re-trace only the boundary cells.
     tri_alpha_mask = None
+    tri_fine_mask = None
     if flat.any_alpha_test:
-        from steeljax.accel.alphamask import compute_alpha_masks
-        tri_alpha_mask = compute_alpha_masks(
+        from steeljax.accel.alphamask import (compute_alpha_masks,
+                                              compute_fine_masks)
+        mask_args = (
             np.asarray(flat.tri_uv), np.asarray(flat.tri_mat),
             np.asarray(flat.mat_base_color), np.asarray(flat.mat_params),
             np.asarray(flat.mat_tex), np.asarray(flat.mat_flags),
             scene.textures)
+        tri_alpha_mask = compute_alpha_masks(*mask_args)
+        # Two-plane fine rows for the multi-hit kernel (STEELJAX_FINEMASK=0
+        # reverts to aux-lane-only masking for A/B).
+        if os.environ.get("STEELJAX_FINEMASK", "1") == "1":
+            tri_fine_mask = compute_fine_masks(*mask_args)
     tables, global_order, total_padded = prepare_tables(
         tri_pos, np.asarray(flat.tri_double_sided), leaf_size=leaf_size,
-        use_pallas=use_pallas, tri_alpha_mask=tri_alpha_mask)
+        use_pallas=use_pallas, tri_alpha_mask=tri_alpha_mask,
+        tri_fine_mask=tri_fine_mask)
     permuted = apply_permutation((None, global_order, total_padded), {
         "tri_pos": tri_pos,
         "tri_nrm": np.asarray(flat.tri_nrm),

@@ -196,10 +196,17 @@ def make_parity_scene(sphere_detail: int = 8) -> Scene:
     return scene
 
 
-def _leaf_texture(size: int = 128) -> np.ndarray:
+def _leaf_texture(size: int = 128, serrated: bool = True) -> np.ndarray:
     """Procedural RGBA leaf card: green lobes with an alpha mask
     (~45% coverage) — the San Miguel foliage pattern that makes the
-    reference's AnyHit shader (AnyHit.rahit:25-52) the hot path."""
+    reference's AnyHit shader (AnyHit.rahit:25-52) the hot path.
+
+    serrated=True adds texel-scale perforations everywhere (periodic
+    sin x sin cuts, period ~8 texels): the ADVERSARIAL case where no
+    coverage cell is provably opaque.  serrated=False models the common
+    real-asset profile — solid leaflet interiors, smooth boundaries —
+    where the fine OPAQUE plane (accel.alphamask) lets interior hits
+    terminate traversal exactly like opaque geometry."""
     y, x = np.mgrid[0:size, 0:size].astype(np.float32) / (size - 1)
     alpha = np.zeros((size, size), bool)
     # Three elliptical leaflets fanning from the bottom-center stem.
@@ -212,7 +219,8 @@ def _leaf_texture(size: int = 128) -> np.ndarray:
         alpha |= (u / rx) ** 2 + (v / ry) ** 2 < 1.0
     # Serrated edge + midrib cut so the mask is high-frequency.
     alpha &= ~((np.abs(x - 0.5) < 0.012) & (y < 0.45))
-    alpha &= (np.sin(x * 97.0) * np.sin(y * 83.0)) > -0.92
+    if serrated:
+        alpha &= (np.sin(x * 97.0) * np.sin(y * 83.0)) > -0.92
     tex = np.zeros((size, size, 4), np.uint8)
     shade = (90 + 100 * y).astype(np.uint8)
     tex[..., 0] = 30
@@ -223,16 +231,19 @@ def _leaf_texture(size: int = 128) -> np.ndarray:
 
 
 def make_foliage_scene(cards: int = 500_000, region: float = 9.0,
-                       card_size: float = 0.55, seed: int = 11) -> Scene:
+                       card_size: float = 0.55, seed: int = 11,
+                       serrated: bool = True) -> Scene:
     """San Miguel-class alpha-test workload: a dense canopy of randomly
     oriented textured leaf cards (2 tris each) over a ground plane.
     Every leaf intersection runs the alpha-test re-trace loop
     (render/pt/integrator trace_material_ray; reference AnyHit.rahit:
     25-52) — the actual hard part of San Miguel-style scenes, which the
-    sphere/box stress scene does not exercise."""
+    sphere/box stress scene does not exercise.  serrated=False swaps in
+    the solid-interior leaf texture (see _leaf_texture) — the realistic
+    asset profile where opaque-plane termination applies."""
     rng = np.random.default_rng(seed)
     scene = Scene()
-    scene.textures.append(_leaf_texture())
+    scene.textures.append(_leaf_texture(serrated=serrated))
     scene.materials.append(Material(
         base_color_factor=np.ones(4, np.float32),
         base_color_texture=0, roughness_factor=0.8, metallic_factor=0.0,

@@ -155,3 +155,121 @@ def test_masked_oracle_matches_unmasked_integrator_image():
     a = render(flat, tables)
     b = render(flat2, tables2)
     assert np.allclose(a, b, atol=1e-5), float(np.abs(a - b).max())
+
+
+# --- two-plane fine masks (multi-hit kernel; accel.alphamask FINE_*) -----
+
+from steeljax.accel.alphamask import (FINE_CELLS, FINE_GRID, FINE_STRIDE,
+                                      FINE_WORDS, compute_fine_masks,
+                                      fine_cell, fine_mask_test)
+
+
+def _fine_args(uv, tri_mat, tex):
+    return dict(
+        tri_uv=uv, tri_mat=tri_mat,
+        mat_base_color=np.array([[1, 1, 1, 1.0]], np.float32),
+        mat_params=np.array([[0.8, 0, 1, 1, 0.5]], np.float32),
+        mat_tex=np.array([[0, -1, -1, -1, -1]], np.int32),
+        mat_flags=np.array([int(MaterialFlags.ALPHA_TEST)], np.int32),
+        textures=[tex])
+
+
+def test_fine_masks_conservative_both_planes():
+    """PASS bit 0 => every bilinear sample in the cell is < cutoff;
+    OPAQUE bit 1 => every bilinear sample is >= cutoff (the exact test
+    provably keeps the hit)."""
+    rng = np.random.default_rng(7)
+    tex = _leaf_texture()
+    n = 48
+    uv = rng.uniform(-0.2, 1.2, (n, 3, 2)).astype(np.float32)
+    fine = compute_fine_masks(**_fine_args(uv, np.zeros(n, np.int32), tex))
+    assert fine.shape == (n, FINE_STRIDE)
+
+    g = 48
+    us, vs = np.meshgrid((np.arange(g) + 0.5) / g, (np.arange(g) + 0.5) / g)
+    keep = (us + vs) < 1.0
+    us, vs = us[keep].astype(np.float32), vs[keep].astype(np.float32)
+    kept_any = opaque_any = 0
+    for k in range(0, n, 5):
+        pu = uv[k, 0, 0] + us * (uv[k, 1, 0] - uv[k, 0, 0]) \
+            + vs * (uv[k, 2, 0] - uv[k, 0, 0])
+        pv = uv[k, 0, 1] + us * (uv[k, 1, 1] - uv[k, 0, 1]) \
+            + vs * (uv[k, 2, 1] - uv[k, 0, 1])
+        alpha = _bilinear_alpha(tex, pu, pv)
+        keep_b, opq_b = fine_mask_test(
+            jnp.asarray(fine[k])[None, :], jnp.asarray(us),
+            jnp.asarray(vs))
+        keep_b, opq_b = np.asarray(keep_b), np.asarray(opq_b)
+        assert (alpha[~keep_b] < 0.5).all(), f"non-conservative PASS {k}"
+        assert (alpha[opq_b] >= 0.5).all(), f"non-conservative OPAQUE {k}"
+        kept_any += int((~keep_b).sum())
+        opaque_any += int(opq_b.sum())
+    # The planes must actually bite on the leaf texture.
+    assert kept_any > 0
+    # (the serrated leaf texture has no fully-opaque cells by design;
+    # probe the opaque plane with a solid texture instead)
+    solid = np.full((16, 16, 4), 255, np.uint8)
+    fine_s = compute_fine_masks(
+        **_fine_args(uv[:4], np.zeros(4, np.int32), solid))
+    ku, ou = fine_mask_test(jnp.asarray(fine_s[0])[None, :],
+                            jnp.asarray(us), jnp.asarray(vs))
+    assert np.asarray(ku).all() and np.asarray(ou).all()
+
+
+def test_fine_mask_defaults_and_degenerates():
+    uv = np.random.default_rng(0).uniform(0, 1, (6, 3, 2)).astype(np.float32)
+    tex = np.full((4, 4, 4), 255, np.uint8)
+    flags = np.array([0,                                   # not alpha-test
+                      int(MaterialFlags.ALPHA_TEST),       # no texture
+                      int(MaterialFlags.ALPHA_TEST)], np.int32)
+    tex_ids = np.array([[0] * 5, [-1] * 5, [0, -1, -1, -1, -1]], np.int32)
+    base = np.array([[1, 1, 1, 1], [1, 1, 1, 1], [1, 1, 1, 0.0]],
+                    np.float32)
+    params = np.tile(np.array([1, 0, 1, 1, 0.5], np.float32), (3, 1))
+    fine = compute_fine_masks(uv, np.array([0, 1, 2, 0, 1, 2], np.int32),
+                              base, params, tex_ids, flags, [tex])
+    assert (fine[0] == -1).all()       # opaque material: pass + opaque
+    assert (fine[1] == -1).all()       # alpha-test without texture
+    assert (fine[2] == 0).all()        # alpha factor 0: reject everywhere
+
+
+def test_fine_mask_test_matches_numpy_reference():
+    rng = np.random.default_rng(3)
+    words = rng.integers(-(1 << 31), 1 << 31, (512, FINE_STRIDE),
+                         dtype=np.int64).astype(np.int32)
+    u = rng.uniform(0, 1, 512).astype(np.float32)
+    v = rng.uniform(0, 1, 512).astype(np.float32) * (1.0 - u)
+    keep, opq = fine_mask_test(jnp.asarray(words), jnp.asarray(u),
+                               jnp.asarray(v))
+    ci = np.clip((u * FINE_GRID).astype(np.int64), 0, FINE_GRID - 1)
+    cj = np.clip((v * FINE_GRID).astype(np.int64), 0, FINE_GRID - 1)
+    cell = cj * FINE_GRID + ci - ((cj * (cj - 1)) >> 1)
+    in_dom = (ci + cj) <= FINE_GRID - 1
+    w64 = words.astype(np.int64) & 0xFFFFFFFF
+    rows = np.arange(512)
+    pw = w64[rows, cell >> 5]
+    ow = w64[rows, FINE_WORDS + (cell >> 5)]
+    want_keep = (((pw >> (cell & 31)) & 1) == 1) | ~in_dom
+    want_opq = (((ow >> (cell & 31)) & 1) == 1) & in_dom
+    assert (np.asarray(keep) == want_keep).all()
+    assert (np.asarray(opq) == want_opq).all()
+    assert FINE_CELLS <= FINE_WORDS * 32
+
+
+def test_pack_fine_mask_rows_alignment():
+    from steeljax.accel.bvh import TRI_PER_ROW
+    from steeljax.accel.pallas_traverse import LANES, pack_fine_mask_rows
+    rng = np.random.default_rng(1)
+    t = 29
+    fine = rng.integers(-(1 << 31), 1 << 31, (t, FINE_STRIDE),
+                        dtype=np.int64).astype(np.int32)
+    rows = pack_fine_mask_rows(fine)
+    assert rows.shape == (-(-t // TRI_PER_ROW), LANES)
+    assert rows.dtype == np.int32
+    for k in range(t):
+        r, j = divmod(k, TRI_PER_ROW)
+        got = rows[r, FINE_STRIDE * j:FINE_STRIDE * (j + 1)]
+        assert (got == fine[k]).all()
+    # pad records reject everything (PASS plane zero)
+    last = rows[-1, FINE_STRIDE * (t % TRI_PER_ROW):]
+    assert (last == 0).all()

@@ -133,3 +133,81 @@ def test_multihit_kernel_slot_semantics_doc():
                           jnp.float32(0.3)))
     assert not bool(mask_test(jnp.int32(0), jnp.float32(0.3),
                               jnp.float32(0.3)))
+
+
+def test_fine_multihit_oracle_opaque_bound_contract():
+    """The fine two-plane multi-hit contract (kernel_parity
+    'flat_multihit_fine' oracle): output = K nearest PASS-plane hits with
+    t <= min t over OPAQUE-plane hits.  Hand-built quad stack: PASS-only
+    at z=0, OPAQUE at z=-1, PASS-only at z=-2 — the z=-2 layer must be
+    filtered by the opaque bound."""
+    from steeljax.accel.alphamask import FINE_STRIDE, FINE_WORDS
+    from steeljax.apps.kernel_parity import _multihit_oracle
+
+    quads = []
+    for z in (0.0, -1.0, -2.0):
+        quads.append([[-5, -5, z], [5, -5, z], [5, 5, z]])
+        quads.append([[-5, -5, z], [5, 5, z], [-5, 5, z]])
+    tri_pos = np.asarray(quads, np.float32)
+    ds = np.ones(6, bool)
+    fine = np.zeros((6, FINE_STRIDE), np.int32)
+    fine[:, :FINE_WORDS] = -1                    # PASS everywhere
+    fine[2:4] = -1                               # z=-1 quad: OPAQUE too
+    o = np.array([[0.3, -0.2, 5.0], [1.0, 2.0, 5.0]], np.float32)
+    d = np.tile(np.array([0, 0, -1.0], np.float32), (2, 1))
+
+    slots = _multihit_oracle(tri_pos, ds, o, d, 0.001, 100.0, 4,
+                             False, None, fine=fine, use_opaque=True)
+    t = slots["t"]
+    assert np.allclose(t[0], 5.0, atol=1e-4)     # z=0 layer
+    assert np.allclose(t[1], 6.0, atol=1e-4)     # z=-1 opaque layer
+    assert (t[2] < 0).all() and (t[3] < 0).all()  # z=-2 filtered by ob
+
+    # Control: no opaque bits -> all three layers appear.
+    fine[2:4, FINE_WORDS:] = 0
+    slots = _multihit_oracle(tri_pos, ds, o, d, 0.001, 100.0, 4,
+                             False, None, fine=fine, use_opaque=True)
+    assert np.allclose(slots["t"][2], 7.0, atol=1e-4)
+    assert (slots["t"][3] < 0).all()
+
+    # PASS-plane rejection: cut the z=0 layer entirely.
+    fine[0:2, :FINE_WORDS] = 0
+    slots = _multihit_oracle(tri_pos, ds, o, d, 0.001, 100.0, 4,
+                             False, None, fine=fine, use_opaque=True)
+    assert np.allclose(slots["t"][0], 6.0, atol=1e-4)
+
+
+def test_prepare_tables_builds_fine_rows():
+    """prepare_tables threads (T, FINE_STRIDE) fine masks into per-chunk
+    packed int32 rows aligned with tris_packed (Pallas path only)."""
+    from steeljax.accel.alphamask import FINE_STRIDE
+    from steeljax.accel.bvh import TRI_PER_ROW
+    from steeljax.accel.dispatch import prepare_tables
+
+    r = np.random.default_rng(4)
+    tris = r.uniform(-1, 1, (40, 3, 3)).astype(np.float32)
+    ds = np.ones(40, bool)
+    coarse = r.integers(0, 1 << 21, 40).astype(np.uint32)
+    fine = r.integers(-(1 << 31), 1 << 31, (40, FINE_STRIDE),
+                      dtype=np.int64).astype(np.int32)
+    tables, order, padded = prepare_tables(
+        tris, ds, leaf_size=12, use_pallas=True, tri_alpha_mask=coarse,
+        tri_fine_mask=fine)
+    chunk = tables.chunks[0]
+    assert chunk.fine_mask_rows is not None
+    rows = np.asarray(chunk.fine_mask_rows)
+    assert rows.shape == (padded // TRI_PER_ROW, 128)
+    # Row contents must be the PERMUTED fine masks in record order.
+    for slot in range(padded):
+        src = order[slot]
+        want = fine[src] if src >= 0 else np.zeros(FINE_STRIDE, np.int32)
+        r_, j = divmod(slot, TRI_PER_ROW)
+        got = rows[r_, FINE_STRIDE * j:FINE_STRIDE * (j + 1)]
+        assert (got == want).all(), slot
+    # Without fine masks (or on the CPU path) the field stays None.
+    t2, _, _ = prepare_tables(tris, ds, leaf_size=12, use_pallas=True,
+                              tri_alpha_mask=coarse)
+    assert t2.chunks[0].fine_mask_rows is None
+    t3, _, _ = prepare_tables(tris, ds, leaf_size=12, use_pallas=False,
+                              tri_alpha_mask=coarse, tri_fine_mask=fine)
+    assert t3.chunks[0].fine_mask_rows is None
