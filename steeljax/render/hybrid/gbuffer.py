@@ -76,6 +76,46 @@ def trace_opaque(scene: FlatScene, tables: TraceTables, o, d, t_min, t_max,
                         shared_origin=True)
     if not (scene.any_alpha_blend or scene.any_alpha_test):
         return rec
+    return _alpha_retrace(scene, tables, o, d, rec, t_max, max_retrace)
+
+
+def raster_or_trace_opaque(scene: FlatScene, tables: TraceTables, o, d,
+                           t_min, t_max, max_retrace: int, raster,
+                           view_proj):
+    """Rasterized primary visibility with an exact traced fallback.
+
+    `raster` = (RasterScene, width, height, tile): the raster path
+    (render.hybrid.raster — the TPU analog of the reference's raster
+    G-buffer pipeline, GBufferStage.cpp:147-157) produces the same
+    nearest-opaque rec; when the frame overflows the raster's static
+    binning budgets (ok=False) the traced path runs instead via
+    lax.cond, so the raster is never a correctness risk.  Alpha-BLEND
+    triangles are excluded from the raster input; alpha-TEST discards
+    resolve through the same bounded re-trace as the traced path."""
+    from steeljax.render.hybrid.raster import raster_rec
+
+    rscene, width, height, tile = raster
+    rrec, ok = raster_rec(rscene, view_proj, width, height, tile, d,
+                          t_min)
+    base_keys = ("hit", "t", "tri", "u", "v")
+
+    def rastered(_):
+        if not scene.any_alpha_test:
+            return rrec
+        return _alpha_retrace(scene, tables, o, d, rrec, t_max,
+                              max_retrace)
+
+    def traced(_):
+        rec = trace_opaque(scene, tables, o, d, t_min, t_max, max_retrace)
+        return {k: rec[k] for k in base_keys}
+
+    return jax.lax.cond(ok, rastered, traced, None)
+
+
+def _alpha_retrace(scene: FlatScene, tables: TraceTables, o, d, rec,
+                   t_max, max_retrace: int):
+    """Bounded alpha re-trace from an initial nearest-hit rec (shared by
+    the traced and rasterized visibility paths)."""
     tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
 
     def retrace_pass(rec):
@@ -101,12 +141,21 @@ def trace_opaque(scene: FlatScene, tables: TraceTables, o, d, t_min, t_max,
 
 def generate_gbuffer(scene: FlatScene, tables: TraceTables, o, d,
                      t_min, t_max, view_proj, camera_position,
-                     max_retrace: int = 4, pixel_spread: float = 0.0):
+                     max_retrace: int = 4, pixel_spread: float = 0.0,
+                     raster=None):
     """Returns the G-buffer dict for a ray batch: normal (N,3 in [0,1]
     10-bit packed), emission (N,3 linear-raw), base_color_occlusion (N,4
     8-bit), rough_metal (N,2 8-bit), depth (N, reverse-z NDC, 0 = miss),
-    hit (N,)."""
-    rec = trace_opaque(scene, tables, o, d, t_min, t_max, max_retrace)
+    hit (N,).
+
+    `raster` = (RasterScene, width, height, tile) switches primary
+    visibility to the rasterizer (render.hybrid.raster) with a traced
+    fallback; None keeps the traced path."""
+    if raster is not None:
+        rec = raster_or_trace_opaque(scene, tables, o, d, t_min, t_max,
+                                     max_retrace, raster, view_proj)
+    else:
+        rec = trace_opaque(scene, tables, o, d, t_min, t_max, max_retrace)
     tri = jnp.maximum(rec["tri"], 0)
     u, v = rec["u"], rec["v"]
     hit = rec["hit"]

@@ -28,7 +28,7 @@ from steeljax.scene.scene import Scene
     jax.jit,
     static_argnames=("width", "height", "ray_tracing_enabled",
                      "force_forward", "max_blend_layers", "debug_view",
-                     "override_material"))
+                     "override_material", "tile"))
 def render_hybrid_pixels(scene, tables, env: Environment,
                          inverse_view, inverse_proj, view_proj,
                          camera_near, camera_far, width: int, height: int,
@@ -37,7 +37,8 @@ def render_hybrid_pixels(scene, tables, env: Environment,
                          force_forward: bool = False,
                          max_blend_layers: int = 4,
                          debug_view: str | None = None,
-                         override_material: tuple | None = None):
+                         override_material: tuple | None = None,
+                         raster_scene=None, tile=None):
     """One hybrid frame for the pixels (px, py); returns (N, 3) display
     color in [0, 1] (tone-mapped)."""
     xs = px.astype(jnp.float32)
@@ -74,11 +75,20 @@ def render_hybrid_pixels(scene, tables, env: Environment,
     else:
         # named_scope = the EASY_BLOCK stage markers (SURVEY.md §5): each
         # stage shows up as a labeled span in jax.profiler traces.
+        # Rasterized primary visibility (the reference's raster G-buffer
+        # pipeline) engages only when the caller passes the device raster
+        # inputs AND confirms (px, py) is the canonical full-frame
+        # tiled_order layout via `tile` — sharded/partial pixel batches
+        # keep the traced path.
+        raster = None
+        if raster_scene is not None and tile is not None:
+            raster = (raster_scene, width, height, tile)
         with jax.named_scope("gbuffer_stage"):
             gbuffer = generate_gbuffer(scene, tables, origin, direction,
                                        camera_near, camera_far, view_proj,
                                        camera_position,
-                                       pixel_spread=pixel_spread)
+                                       pixel_spread=pixel_spread,
+                                       raster=raster)
 
         inverse_proj_view = jnp.einsum(
             "ij,jk->ik", inverse_view, inverse_proj)
@@ -153,8 +163,27 @@ class HybridRenderer:
                                       scene.camera_projection,
                                       reverse_depth=config.reverse_depth)
         self.frame = frame
+        self.raster_scene = self._prepare_raster()
         if config.global_illumination_enabled:
             self.bake_light_volume()
+
+    def _prepare_raster(self):
+        """Device raster inputs for the rasterized G-buffer, or None when
+        the frame/scene keeps the traced path (non-tiling extents,
+        orthographic camera, instanced/treelet tables, or
+        STEELJAX_RASTER=0)."""
+        import os
+
+        from steeljax.render.hybrid.raster import prepare_raster, supported
+        if os.environ.get("STEELJAX_RASTER", "1") == "0":
+            return None
+        if not supported(self.width, self.height):
+            return None
+        if self.scene.camera_projection.y_fov == 0.0:
+            return None  # orthographic: w_clip carries no eye depth
+        if not self.config.reverse_depth:
+            return None  # raster z test assumes reverse-z NDC
+        return prepare_raster(self.flat, self.tables)
 
     def refresh_scene(self, prepared=None) -> None:
         from steeljax.render.pt.renderer import prepare_scene as prep
@@ -162,6 +191,7 @@ class HybridRenderer:
         self.frame = camera_lib.make_frame(
             self.scene.camera_location, self.scene.camera_projection,
             reverse_depth=self.config.reverse_depth)
+        self.raster_scene = self._prepare_raster()
 
     def bake_light_volume(self, spp: int = 8, **kwargs) -> None:
         """Run the light-volume GI bake (GlobalIllumination::
@@ -199,7 +229,9 @@ class HybridRenderer:
             force_forward=self.config.force_forward,
             max_blend_layers=self.config.max_blend_layers,
             debug_view=self.config.debug_view,
-            override_material=self.config.override_material)
+            override_material=self.config.override_material,
+            raster_scene=self.raster_scene,
+            tile=tile if self.raster_scene is not None else None)
         if tile is not None:
             out = detile(out, self.width, self.height, tile).reshape(-1, 3)
         return out

@@ -1,0 +1,167 @@
+"""Rasterized primary visibility vs the traced oracle.
+
+The raster G-buffer path (render.hybrid.raster) must reproduce
+trace_nearest's nearest-opaque rec on full frames: same hit set, same
+winning triangles, matching t/u/v — up to a small edge-pixel budget
+(silhouette pixels where the raster's pixel-center edge test and the
+traced Moller-Trumbore disagree in the last ulp) and z-fight ties.  Also
+covers the near-plane clipper, the overflow->traced fallback contract,
+and the raster->tiled reorder.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from steeljax.core import camera as camera_lib
+from steeljax.render.hybrid import raster as raster_lib
+from steeljax.render.hybrid.gbuffer import raster_or_trace_opaque, \
+    trace_opaque
+from steeljax.render.hybrid.raster import (prepare_raster, raster_rec,
+                                           supported, to_tiled)
+from steeljax.render.pt.integrator import tiled_order
+from steeljax.render.pt.renderer import prepare_scene
+from steeljax.scene.builtin import make_cornell_scene, make_stress_scene
+
+W, H = 128, 64
+
+
+def _rays(frame, width, height, px, py):
+    """Pixel-center rays exactly as render_hybrid_pixels builds them."""
+    inverse_proj = jnp.asarray(frame.inverse_proj)
+    inverse_view = jnp.asarray(frame.inverse_view)
+    xs = px.astype(jnp.float32)
+    ys = py.astype(jnp.float32)
+    xy = jnp.stack([(xs + 0.5) / width, (ys + 0.5) / height],
+                   axis=-1) * 2.0 - 1.0
+    target = jnp.einsum("ij,nj->ni", inverse_proj,
+                        jnp.concatenate([xy, jnp.ones_like(xy)], -1))
+    d = target[..., :3] / jnp.linalg.norm(target[..., :3], axis=-1,
+                                          keepdims=True)
+    d = jnp.einsum("ij,nj->ni", inverse_view,
+                   jnp.concatenate([d, jnp.zeros_like(d[..., :1])],
+                                   -1))[..., :3]
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(inverse_view[:3, 3], d.shape)
+    return o, d
+
+
+def _setup(scene):
+    flat, tables = prepare_scene(scene, env_resolution=16)
+    frame = camera_lib.make_frame(scene.camera_location,
+                                  scene.camera_projection)
+    px, py, tile = tiled_order(W, H)
+    o, d = _rays(frame, W, H, px, py)
+    return flat, tables, frame, tile, o, d
+
+
+def _compare(rec_r, rec_t, d, budget=0.02):
+    hit_r = np.asarray(rec_r["hit"])
+    hit_t = np.asarray(rec_t["hit"])
+    tri_r = np.asarray(rec_r["tri"])
+    tri_t = np.asarray(rec_t["tri"])
+    t_r = np.asarray(rec_r["t"])
+    t_t = np.asarray(rec_t["t"])
+    # Same surface: same tri, or a different tri at the same depth
+    # (shared edges / coplanar overlap resolve ties differently).
+    both = hit_r & hit_t
+    same_depth = np.abs(t_r - t_t) <= 5e-3 * np.maximum(t_t, 1.0)
+    agree = (~hit_r & ~hit_t) | (both & ((tri_r == tri_t) | same_depth))
+    frac = 1.0 - agree.mean()
+    assert frac <= budget, f"{frac:.4f} of pixels disagree (> {budget})"
+    # Where the same triangle wins, the intersection must match.
+    same = both & (tri_r == tri_t)
+    assert same.any()
+    np.testing.assert_allclose(t_r[same], t_t[same],
+                               rtol=5e-3, atol=5e-4)
+    u_r, v_r = np.asarray(rec_r["u"]), np.asarray(rec_r["v"])
+    u_t, v_t = np.asarray(rec_t["u"]), np.asarray(rec_t["v"])
+    assert np.abs(u_r - u_t)[same].max() < 5e-3
+    assert np.abs(v_r - v_t)[same].max() < 5e-3
+
+
+def test_supported_extents():
+    assert supported(1920, 1080)
+    assert supported(1280, 720)
+    assert supported(W, H)
+    assert not supported(100, 64)
+    assert not supported(128, 30)
+
+
+def test_to_tiled_roundtrip():
+    px, py, tile = tiled_order(W, H)
+    # Values laid out in raster natural order (ty, gx, sub, lane) must
+    # land at their (py, px) pixels after to_tiled.
+    frame_vals = np.arange(W * H, dtype=np.int32).reshape(H, W)
+    raster_order = frame_vals.reshape(
+        H // raster_lib.TILE_H, raster_lib.TILE_H,
+        W // raster_lib.GROUP_W, raster_lib.GROUP_W
+    ).transpose(0, 2, 1, 3).reshape(-1)
+    out = np.asarray(to_tiled(jnp.asarray(raster_order), W, H, tile))
+    expect = frame_vals[np.asarray(py), np.asarray(px)]
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_raster_matches_trace_cornell():
+    """Cornell: axis-aligned quads + a sphere, camera inside the box so
+    side walls cross the near plane (exercises the clipper)."""
+    scene = make_cornell_scene(sphere_detail=8)
+    flat, tables, frame, tile, o, d = _setup(scene)
+    rscene = prepare_raster(flat, tables)
+    rec_r, ok = raster_rec(rscene, jnp.asarray(frame.view_proj), W, H,
+                           tile, d, frame.camera_near)
+    assert bool(ok)
+    assert bool(np.asarray(rec_r["hit"]).mean() > 0.3)
+    rec_t = trace_opaque(flat, tables, o, d, frame.camera_near,
+                         frame.camera_far, 4)
+    _compare(rec_r, rec_t, d)
+
+
+def test_raster_matches_trace_stress():
+    """Instanced spheres/boxes: curved silhouettes, many small tris."""
+    scene = make_stress_scene(instances=12, sphere_detail=10)
+    flat, tables, frame, tile, o, d = _setup(scene)
+    rscene = prepare_raster(flat, tables)
+    rec_r, ok = raster_rec(rscene, jnp.asarray(frame.view_proj), W, H,
+                           tile, d, frame.camera_near)
+    assert bool(ok)
+    rec_t = trace_opaque(flat, tables, o, d, frame.camera_near,
+                         frame.camera_far, 4)
+    _compare(rec_r, rec_t, d, budget=0.03)
+
+
+def test_overflow_falls_back_to_trace(monkeypatch):
+    """When the static binning budgets overflow, ok=False and
+    raster_or_trace_opaque must return exactly the traced rec."""
+    scene = make_cornell_scene(sphere_detail=8)
+    flat, tables, frame, tile, o, d = _setup(scene)
+    rscene = prepare_raster(flat, tables)
+    monkeypatch.setattr(raster_lib, "BIG_MAX", 1)
+    _, ok = raster_rec(rscene, jnp.asarray(frame.view_proj), W, H,
+                       tile, d, frame.camera_near)
+    assert not bool(ok)
+    rec = raster_or_trace_opaque(
+        flat, tables, o, d, frame.camera_near, frame.camera_far, 4,
+        (rscene, W, H, tile), jnp.asarray(frame.view_proj))
+    rec_t = trace_opaque(flat, tables, o, d, frame.camera_near,
+                         frame.camera_far, 4)
+    for k in ("hit", "tri", "t", "u", "v"):
+        np.testing.assert_array_equal(np.asarray(rec[k]),
+                                      np.asarray(rec_t[k]))
+
+
+def test_hybrid_renderer_engages_raster():
+    """HybridRenderer must build raster inputs for tiling extents and
+    render a frame equal (tight RMSE) to the traced-path frame."""
+    import steeljax.render.hybrid.renderer as renderer_lib
+    from steeljax.core.config import RenderConfig
+
+    scene = make_cornell_scene(sphere_detail=8)
+    config = RenderConfig(width=W, height=H)
+    r = renderer_lib.HybridRenderer(scene, W, H, config)
+    assert r.raster_scene is not None
+    img_raster = r.render_frame()
+    r.raster_scene = None
+    img_traced = r.render_frame()
+    rmse = float(np.sqrt(np.mean((img_raster - img_traced) ** 2)))
+    assert rmse < 0.02, rmse
