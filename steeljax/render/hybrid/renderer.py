@@ -230,8 +230,9 @@ class HybridRenderer:
             max_blend_layers=self.config.max_blend_layers,
             debug_view=self.config.debug_view,
             override_material=self.config.override_material,
-            raster_scene=self.raster_scene,
-            tile=tile if self.raster_scene is not None else None)
+            raster_scene=getattr(self, "raster_scene", None),
+            tile=tile if getattr(self, "raster_scene", None) is not None
+            else None)
         if tile is not None:
             out = detile(out, self.width, self.height, tile).reshape(-1, 3)
         return out

@@ -7,6 +7,8 @@ check is structural: same silhouettes, correlated brightness, both modes
 agree on what is background.
 """
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -81,6 +83,8 @@ def test_rmse_tool(both_images):
     assert 0.0 < value < 0.35, f"Cornell PT/hybrid RMSE drifted: {value:.3f}"
 
 
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="heavy render (RUN_SLOW=1 to enable)")
 def test_parity_scene_rmse():
     """Quantitative PT-vs-hybrid gate on a single-bounce-dominated scene
     (open ground + spheres + directional sun + sky), where split-sum IBL

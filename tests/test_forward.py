@@ -3,6 +3,8 @@
 and composites far-to-near) and the kForceForward routing
 (Config.hpp:41, GBufferStage.cpp:147-157)."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -48,6 +50,8 @@ def _two_blend_scene():
     return scene
 
 
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="heavy render (RUN_SLOW=1 to enable)")
 def test_two_layer_blend_matches_reference_math(tiny_env):
     scene = _two_blend_scene()
     flat, tables = prepare_scene(scene, env_resolution=8,

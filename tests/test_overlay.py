@@ -1,6 +1,8 @@
 """UI overlay burn-in (UIRenderer.cpp:108-112 analog) and hybrid debug
 composition switches (Common/PBR.glsl:78-90, Common/Debug.glsl)."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -42,6 +44,8 @@ def test_burn_overlay_marks_frame():
     assert out.min() < 0.5
 
 
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="heavy render (RUN_SLOW=1 to enable)")
 def test_engine_overlay_burns_into_frames():
     from steeljax.engine.engine import Engine
     scene = make_cornell_scene(sphere_detail=4)
@@ -170,6 +174,8 @@ def test_override_material_changes_shading(hybrid_setup):
     np.testing.assert_allclose(d0, d1, atol=1e-6)
 
 
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="heavy render (RUN_SLOW=1 to enable)")
 def test_override_material_pt_mode():
     """PT-mode override (RayGen.rgen:99-102): overriding with the scene's
     own uniform material values is an identity; different values move the

@@ -2,8 +2,10 @@
 probe visualization."""
 
 import io
+import os
 
 import numpy as np
+import pytest
 
 from steeljax.core.aabb import AABBox
 from steeljax.core.logger import ProgressLogger, log_i
@@ -114,6 +116,8 @@ def test_probe_overlay():
     assert out.max() > 0.0  # the probe at the origin is in view
 
 
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="heavy render (RUN_SLOW=1 to enable)")
 def test_render_cli_profile_writes_trace(tmp_path):
     """--profile captures a jax.profiler trace of the render (the
     easy_profiler-socket analog, SURVEY.md §5)."""

@@ -28,6 +28,8 @@ def test_frame_to_ansi_half_blocks():
     assert len(frame_to_ansi(frame[:3]).split("\n")) == 1
 
 
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="heavy render (RUN_SLOW=1 to enable)")
 def test_pump_drives_camera_and_engine_keys():
     engine = Engine(make_cornell_scene(), 8, 8,
                     RenderConfig(width=8, height=8))
