@@ -130,6 +130,22 @@ def test_raster_matches_trace_stress():
     _compare(rec_r, rec_t, d, budget=0.03)
 
 
+def test_raster_matches_trace_foliage_alpha():
+    """Double-sided alpha-tested cards: raster visibility + the shared
+    bounded re-trace must match the fully traced opaque resolve."""
+    from steeljax.scene.builtin import make_foliage_scene
+
+    scene = make_foliage_scene(cards=300)
+    flat, tables, frame, tile, o, d = _setup(scene)
+    rscene = prepare_raster(flat, tables)
+    rec_r = raster_or_trace_opaque(
+        flat, tables, o, d, frame.camera_near, frame.camera_far, 4,
+        (rscene, W, H, tile), jnp.asarray(frame.view_proj))
+    rec_t = trace_opaque(flat, tables, o, d, frame.camera_near,
+                         frame.camera_far, 4)
+    _compare(rec_r, rec_t, d, budget=0.03)
+
+
 def test_overflow_falls_back_to_trace(monkeypatch):
     """When the static binning budgets overflow, ok=False and
     raster_or_trace_opaque must return exactly the traced rec."""
