@@ -184,9 +184,14 @@ REPACK_MIN_TRIS = 200_000
 # path (_trace_material_multihit): the integrator exact-tests K hits per
 # traversal instead of one, so re-traces run only for rays whose K
 # nearest mask-passing candidates ALL reject.  Env override
-# STEELJAX_MULTIHIT_K (0 disables, falling back to the single-hit
-# bounded re-trace loop) for A/B.
-MULTIHIT_K = 4
+# STEELJAX_MULTIHIT_K for A/B.  DEFAULT 0 (single-hit + coverage masks +
+# rejected-first compaction): measured FASTER than K=4 on both the
+# adversarial serrated canopy (0.269 vs 0.225 Mray/s, fine masks) and
+# coarse masks (0.262 vs 0.218) — the K-th accepted candidate is a far
+# weaker prune bound than the nearest-accepted hit, and sorted slot
+# insertion doubles leaf vector work (round-4 sweep, /tmp logs +
+# CLAUDE.md round-4 findings).
+MULTIHIT_K = 0
 
 
 def _multihit_k() -> int:

@@ -9,6 +9,8 @@ covers the near-plane clipper, the overflow->traced fallback contract,
 and the raster->tiled reorder.
 """
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -103,8 +105,9 @@ def test_to_tiled_roundtrip():
 
 
 def test_raster_matches_trace_cornell():
-    """Cornell: axis-aligned quads + a sphere, camera inside the box so
-    side walls cross the near plane (exercises the clipper)."""
+    """Cornell: axis-aligned quads + a sphere; the floor/wall quads
+    sweep past the camera plane (exercises the near clipper) and the
+    open-box silhouette leaves plenty of miss pixels."""
     scene = make_cornell_scene(sphere_detail=8)
     flat, tables, frame, tile, o, d = _setup(scene)
     rscene = prepare_raster(flat, tables)
@@ -117,6 +120,8 @@ def test_raster_matches_trace_cornell():
     _compare(rec_r, rec_t, d)
 
 
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="heavy CPU trace oracle (RUN_SLOW=1 to enable)")
 def test_raster_matches_trace_stress():
     """Instanced spheres/boxes: curved silhouettes, many small tris."""
     scene = make_stress_scene(instances=12, sphere_detail=10)
@@ -130,6 +135,8 @@ def test_raster_matches_trace_stress():
     _compare(rec_r, rec_t, d, budget=0.03)
 
 
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="heavy CPU trace oracle (RUN_SLOW=1 to enable)")
 def test_raster_matches_trace_foliage_alpha():
     """Double-sided alpha-tested cards: raster visibility + the shared
     bounded re-trace must match the fully traced opaque resolve."""
