@@ -82,34 +82,22 @@ def trace_opaque(scene: FlatScene, tables: TraceTables, o, d, t_min, t_max,
 def raster_or_trace_opaque(scene: FlatScene, tables: TraceTables, o, d,
                            t_min, t_max, max_retrace: int, raster,
                            view_proj):
-    """Rasterized primary visibility with an exact traced fallback.
+    """Rasterized primary visibility (render.hybrid.raster — the TPU
+    analog of the reference's raster G-buffer pipeline,
+    GBufferStage.cpp:147-157).
 
-    `raster` = (RasterScene, width, height, tile): the raster path
-    (render.hybrid.raster — the TPU analog of the reference's raster
-    G-buffer pipeline, GBufferStage.cpp:147-157) produces the same
-    nearest-opaque rec; when the frame overflows the raster's static
-    binning budgets (ok=False) the traced path runs instead via
-    lax.cond, so the raster is never a correctness risk.  Alpha-BLEND
+    `raster` = (RasterScene, width, height, tile).  The raster produces
+    the same nearest-opaque rec as the traced path; its slice loops are
+    data-dependent, so density never overflows a budget.  Alpha-BLEND
     triangles are excluded from the raster input; alpha-TEST discards
     resolve through the same bounded re-trace as the traced path."""
     from steeljax.render.hybrid.raster import raster_rec
 
     rscene, width, height, tile = raster
-    rrec, ok = raster_rec(rscene, view_proj, width, height, tile, d,
-                          t_min)
-    base_keys = ("hit", "t", "tri", "u", "v")
-
-    def rastered(_):
-        if not scene.any_alpha_test:
-            return rrec
-        return _alpha_retrace(scene, tables, o, d, rrec, t_max,
-                              max_retrace)
-
-    def traced(_):
-        rec = trace_opaque(scene, tables, o, d, t_min, t_max, max_retrace)
-        return {k: rec[k] for k in base_keys}
-
-    return jax.lax.cond(ok, rastered, traced, None)
+    rrec = raster_rec(rscene, view_proj, width, height, tile, d, t_min)
+    if not scene.any_alpha_test:
+        return rrec
+    return _alpha_retrace(scene, tables, o, d, rrec, t_max, max_retrace)
 
 
 def _alpha_retrace(scene: FlatScene, tables: TraceTables, o, d, rec,

@@ -17,34 +17,32 @@ analog, built the TPU way:
     barycentrics), and reverse-z NDC depth — each a (a, b, c) triple
     evaluated as a*sx + b*sy + c.
  2. BIN (one device sort): each piece gets a key = its MIN covered
-    subtile (32x8 px); pieces spanning more than SPANxSPAN subtiles go
-    to a global "big" segment, culled/degenerate pieces to the tail.
-    One lax.sort of the keys + a row gather orders the record table;
-    searchsorted yields per-subtile segment offsets.  There is NO
-    per-tile duplication: a tile tests its own segment plus the
-    neighbor segments that can reach it (span <= SPAN), which keeps the
-    sort at one record per piece — the same "one stable sort, no
-    per-array gathers" rule the PT wavefront repack follows.
- 3. RASTER (XLA scan over pixel groups): each group is GROUP adjacent
-    subtiles = 8x128 pixels = one vreg per op.  The group evaluates all
-    12 linear forms of its candidate records with ONE (1024,3) @
-    (3,4*W) MXU matmul per window, masks inside/coverage/z-range, and
-    folds a packed (z | local-index) int32 key with a running max — the
-    z-buffer as a pure reduction.  Hot groups (windows overflowing W)
-    are re-rastered in a second pass with a W_HOT window; if even that
-    overflows, the frame sets ok=False and the caller falls back to the
-    traced path (lax.cond), so the raster is an optimization, never a
-    correctness risk.
+    subtile (32x24 px); pieces spanning more than a 2x2 subtile
+    neighborhood go to a global "big" segment, culled/degenerate pieces
+    to the tail.  One sort of the keys + a row gather orders the record
+    table; searchsorted yields per-subtile segment offsets.  There is
+    NO per-tile duplication: a subtile tests its own segment plus the
+    neighbor segments that can reach it (the same "one stable sort, no
+    per-array gathers" rule the PT wavefront repack follows).
+ 3. RASTER (XLA map over subtiles): each subtile's 768 pixels evaluate
+    their candidate segments in WINDOW-piece slices — one (768,3) @
+    (3,4*W) MXU matmul per slice yields every edge/depth form, and the
+    z-buffer is a running exact (z, global index) max.  Slice loops are
+    fori_loops with data-dependent trip counts, so arbitrarily dense
+    subtiles and arbitrarily long big segments are CORRECT by
+    construction — cost scales with actual density and there are no
+    static budgets to overflow (the 32x8/128-piece windowed first cut
+    of this design overflowed on the 1080p bench scene and had to fall
+    back; this one never does).
  4. RESOLVE: winner records are fetched with one global row gather and
-    the exact u/v/z/t recomputed per pixel from the linear forms (the
-    in-loop z is quantized to 18 bits only for winner SELECTION).
+    the exact u/v/t recomputed per pixel from the linear forms.
 
 Outputs match trace_nearest's contract ({hit, tri, t, u, v}, misses at
 t=-1/tri=-1), so the G-buffer's alpha-test retrace and shading paths are
 unchanged.  Documented deviations from the traced oracle: near/far
-clipping is planar (z_eye) rather than radial (ray t), and z-fights
-between surfaces closer than ~2^-18 in NDC depth may pick a different
-winner than the trace — both affect isolated edge pixels, bounded by
+clipping is planar (z_eye) rather than radial (ray t), and exact-z ties
+(coplanar overlap, shared edges) resolve by record order rather than the
+trace's traversal order — both affect isolated edge pixels, bounded by
 tests/test_raster.py's mismatch budget.
 """
 
@@ -54,28 +52,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Subtile = the binning granule; GROUP adjacent subtiles = one raster
-# group = 8x128 px = exactly one (8,128) vreg per elementwise op.
+# Subtile = the binning granule AND the pixel group one map step
+# rasterizes (32x24 px = 768 lanes).  It must be tall enough that
+# ordinary close-up triangles stay within the 2x2-subtile span cap: at
+# 32x8 the 1080p bench scene sent 4k pieces (every tri taller than
+# ~16 px) to the global big segment; at 32x24 (pieces up to ~64x48 px
+# bin locally) the same frame has ~370.  24 divides 720 and 1080.
 TILE_W = 32
-TILE_H = 8
-GROUP = 4
-GROUP_W = TILE_W * GROUP  # 128
-SPAN = 2          # max subtile span (cols AND rows) before a piece is "big"
-WINDOW = 256      # phase-1 candidate window per (row, 6-col) segment
-BIG_MAX = 128     # global big-piece segment size
-HOT_WINDOW = 2048  # phase-2 window for overflowing groups
-HOT_MAX = 128     # phase-2 group budget
+TILE_H = 24
+PX = TILE_W * TILE_H
+SPAN = 2      # max subtile span (cols AND rows) before a piece is "big"
+WINDOW = 128  # pieces evaluated per slice (one MXU matmul per slice)
 _KEY_BIG = np.int32(1 << 29)
 _KEY_CULL = np.int32(1 << 30)
-_IDX_BITS = 13    # low bits of the packed z|idx key (2*HOT_WINDOW+BIG fits)
 _REC_COLS = 24
 
 
 def supported(width: int, height: int) -> bool:
-    """Raster engages only on frames that tile exactly into 8x128 pixel
-    groups (1280x720 and 1920x1080 both do); anything else keeps the
+    """Raster engages only on frames that tile exactly into 32x24 pixel
+    subtiles (1280x720 and 1920x1080 both do); anything else keeps the
     traced path."""
-    return width % GROUP_W == 0 and height % TILE_H == 0
+    return width % TILE_W == 0 and height % TILE_H == 0
 
 
 @jax.tree_util.register_pytree_node_class
@@ -103,18 +100,18 @@ class RasterScene:
 
 def prepare_raster(flat, tables) -> RasterScene | None:
     """Build the device-side raster inputs, or None when the tables
-    cannot supply them (instanced/treelet/multi-chunk paths keep the
-    traced G-buffer).
+    cannot supply them (instanced/treelet paths keep the traced
+    G-buffer).
 
     On the TPU path vertices are DECODED from the already-resident
     packed triangle rows (pack_tris records: v0, e1, e2, aux at lanes
-    0..9) — zero extra host->device upload; the CPU/test path uploads
-    flat.tri_pos directly."""
+    0..9) — zero extra host->device upload; the CPU/test and
+    multi-chunk paths upload flat.tri_pos directly."""
     from steeljax.accel.bvh import TRI_PER_ROW, TRI_STRIDE
     from steeljax.scene.material import MaterialFlags
 
     chunks = getattr(tables, "chunks", None)
-    if chunks is None or len(chunks) != 1 or tables.treelets is not None:
+    if chunks is None or tables.treelets is not None:
         return None
 
     t_count = flat.tri_pos.shape[0]
@@ -125,7 +122,8 @@ def prepare_raster(flat, tables) -> RasterScene | None:
     in_raster &= np.asarray(flat.tri_pos[:, 0, 0]) < 3.0e36
 
     packed = getattr(chunks[0], "tris_packed", None)
-    if packed is not None and getattr(tables, "use_pallas", False):
+    if (packed is not None and getattr(tables, "use_pallas", False)
+            and len(chunks) == 1):
         rows = packed.reshape(-1, 128)[:, :TRI_PER_ROW * TRI_STRIDE]
         recs = rows.reshape(-1, TRI_STRIDE)[:t_count]
         v0, e1, e2 = recs[:, 0:3], recs[:, 3:6], recs[:, 6:9]
@@ -149,34 +147,24 @@ def _clip_near(p, bary, w_eps):
     inb = w >= w_eps                     # (T, 3)
     count = inb.astype(jnp.int32).sum(-1)
 
-    def pick(i):
-        return p[:, i], bary[:, i], inb[:, i]
-
     # Rotate so that vertex order starts at a canonical inside vertex:
-    # r = index of the first inside vertex whose PREDECESSOR is outside
-    # (for count==1 that's the single inside vertex; for count==2 the
-    # first of the inside pair in winding order).
-    v = [pick(0), pick(1), pick(2)]
+    # r = the inside vertex whose PREDECESSOR (in winding order) is
+    # outside (unique for count 1 and 2; count 3 keeps order).
+    v = [(p[:, i], bary[:, i], inb[:, i]) for i in range(3)]
 
     def rot(sel1, sel2):
-        """Select-rotate verts by 0/1/2 positions."""
         out = []
         for k in range(3):
-            pk = jnp.where(sel1[:, None], v[(k + 1) % 3][0],
-                           v[k % 3][0])
+            pk = jnp.where(sel1[:, None], v[(k + 1) % 3][0], v[k][0])
             pk = jnp.where(sel2[:, None], v[(k + 2) % 3][0], pk)
-            bk = jnp.where(sel1[:, None], v[(k + 1) % 3][1],
-                           v[k % 3][1])
+            bk = jnp.where(sel1[:, None], v[(k + 1) % 3][1], v[k][1])
             bk = jnp.where(sel2[:, None], v[(k + 2) % 3][1], bk)
             out.append((pk, bk))
         return out
 
-    # canonical start r: inside[r] & ~inside[r-1]  (count 1 or 2);
-    # count==3 keeps order, count==0 is culled anyway.
     start1 = inb[:, 1] & ~inb[:, 0]
     start2 = inb[:, 2] & ~inb[:, 1]
-    r = rot(start1, start2)
-    (p0, b0), (p1, b1), (p2, b2) = r
+    (p0, b0), (p1, b1), (p2, b2) = rot(start1, start2)
     w0, w1, w2 = p0[..., 3], p1[..., 3], p2[..., 3]
 
     def isect(pa, ba, wa, pb, bb, wb):
@@ -194,21 +182,17 @@ def _clip_near(p, bary, w_eps):
 
     c1 = (count == 1)[:, None]
     c2 = (count == 2)[:, None]
-    c3 = (count == 3)[:, None]
 
-    a0p = p0
-    a0b = b0
     a1p = jnp.where(c1, i01_p, p1)
     a1b = jnp.where(c1, i01_b, b1)
     a2p = jnp.where(c1, i20_p, jnp.where(c2, i12_p, p2))
     a2b = jnp.where(c1, i20_b, jnp.where(c2, i12_b, b2))
-    piece_a = (jnp.stack([a0p, a1p, a2p], 1),
-               jnp.stack([a0b, a1b, a2b], 1),
+    piece_a = (jnp.stack([p0, a1p, a2p], 1),
+               jnp.stack([b0, a1b, a2b], 1),
                count >= 1)
     piece_b = (jnp.stack([p0, i12_p, i20_p], 1),
                jnp.stack([b0, i12_b, i20_b], 1),
                count == 2)
-    del c3
     return piece_a, piece_b
 
 
@@ -217,7 +201,7 @@ def _piece_records(pp, bb, valid, double_sided, width, height, ntx, nty):
 
     Record columns (24 f32): [a,b,c] x {E0, E1, E2 (piece edges, scaled
     1/area2 so E(p) = piece barycentric), Fw (1/w), Fu, Fv (perspective
-    original-bary u, v), Z (reverse-z NDC)}  = 21, tri_id, bbox_min
+    original-bary u, v), Z (reverse-z NDC)} = 21, tri_id, bbox_min
     (tx0 + 4096*ty0), bbox_max.  Returns (records (T,24), key (T,))."""
     w = pp[..., 3]
     iw = 1.0 / w
@@ -229,9 +213,9 @@ def _piece_records(pp, bb, valid, double_sided, width, height, ntx, nty):
     y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
     area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
     backface = area2 <= 0.0
-    cull = valid & ~(backface & ~double_sided)
+    keep = valid & ~(backface & ~double_sided)
     # Degenerate / sliver pieces never win meaningfully; drop them.
-    cull &= jnp.abs(area2) > 1e-7
+    keep &= jnp.abs(area2) > 1e-7
     inv_a = 1.0 / jnp.where(jnp.abs(area2) < 1e-30, 1e-30, area2)
 
     def edge(xa, ya, xb, yb):
@@ -262,15 +246,16 @@ def _piece_records(pp, bb, valid, double_sided, width, height, ntx, nty):
     xmax = jnp.maximum(jnp.maximum(x0, x1), x2)
     ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
     ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
-    cull &= (xmax >= 0.0) & (xmin < width) & (ymax >= 0.0) & (ymin < height)
-    cull &= jnp.isfinite(xmin) & jnp.isfinite(xmax)
+    keep &= (xmax >= 0.0) & (xmin < width) & (ymax >= 0.0) & (ymin < height)
+    keep &= jnp.isfinite(xmin) & jnp.isfinite(xmax)
+    keep &= jnp.isfinite(ymin) & jnp.isfinite(ymax)
     tx0 = jnp.clip((xmin - 0.5) / TILE_W, 0, ntx - 1).astype(jnp.int32)
     tx1 = jnp.clip((xmax - 0.5) / TILE_W, 0, ntx - 1).astype(jnp.int32)
     ty0 = jnp.clip((ymin - 0.5) / TILE_H, 0, nty - 1).astype(jnp.int32)
     ty1 = jnp.clip((ymax - 0.5) / TILE_H, 0, nty - 1).astype(jnp.int32)
     big = ((tx1 - tx0) >= SPAN) | ((ty1 - ty0) >= SPAN)
 
-    key = jnp.where(cull, jnp.where(big, _KEY_BIG, ty0 * ntx + tx0),
+    key = jnp.where(keep, jnp.where(big, _KEY_BIG, ty0 * ntx + tx0),
                     _KEY_CULL)
     tri_id = jnp.arange(pp.shape[0] // 2, dtype=jnp.int32)
     tri_id = jnp.concatenate([tri_id, tri_id])  # caller stacks A then B
@@ -281,95 +266,27 @@ def _piece_records(pp, bb, valid, double_sided, width, height, ntx, nty):
             (tx0 + 4096 * ty0).astype(jnp.float32),
             (tx1 + 4096 * ty1).astype(jnp.float32)]
     recs = jnp.stack(cols, axis=-1)
-    recs = jnp.where(cull[:, None], jnp.nan_to_num(recs, nan=0.0,
-                                                   posinf=0.0,
-                                                   neginf=0.0),
+    recs = jnp.where(keep[:, None],
+                     jnp.nan_to_num(recs, nan=0.0, posinf=0.0,
+                                    neginf=0.0),
                      0.0)
     return recs, key
 
 
-def _pack_key(z, local_idx):
-    """Order-preserving packed z|idx: reverse-z NDC (positive f32) keeps
-    its top 18 bits (bitcast order = float order for positives); the low
-    _IDX_BITS carry the window-local candidate index."""
-    zi = jax.lax.bitcast_convert_type(z, jnp.int32)
-    zi = jnp.maximum(zi, 0)
-    return ((zi >> _IDX_BITS) << _IDX_BITS) | local_idx
+def _segments(offsets, tile_ids, ntx, nty):
+    """Candidate segments for each subtile: its own and its reachable
+    neighbors' sorted ranges — (row ty-1, cols tx-1..tx) and (row ty,
+    cols tx-1..tx), clamped at borders.  Returns (startA, lenA, startB,
+    lenB)."""
+    ty = tile_ids // ntx
+    tx = tile_ids % ntx
+    c0 = jnp.maximum(tx - 1, 0)
 
-
-def _raster_groups(recs_sorted, group_ids, starts_a, lens_a, starts_b,
-                   lens_b, big_recs, big_count, w1, ntx):
-    """Rasterize the given pixel groups.  Returns (keys (G,1024) int32,
-    winner window id (G,1024): 0=A, 1=B, 2=big, local idx in low bits).
-
-    Every group is TILE_H x GROUP_W px; candidates come from two
-    segment windows (subtile rows ty-1 and ty, columns gx*GROUP-1 ..
-    gx*GROUP+GROUP) plus the global big segment."""
-    sub = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, GROUP_W), 0)
-    lane = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, GROUP_W), 1)
-    lane_tile = (lane // TILE_W).astype(jnp.int32).reshape(-1)  # 0..GROUP-1
-
-    def one_group(args):
-        gid, sa, la, sb, lb = args
-        ty = gid // (ntx // GROUP)
-        gx = gid % (ntx // GROUP)
-        px = (gx * GROUP_W + lane + 0.5).reshape(-1)
-        py = (ty * TILE_H + sub + 0.5).reshape(-1)
-        pmat = jnp.stack([px, py, jnp.ones_like(px)], axis=-1)  # (1024,3)
-        tile_x = gx * GROUP + lane_tile                          # (1024,)
-
-        def window(recs_w, count, base_local):
-            n = recs_w.shape[0]
-            # One MXU matmul evaluates E0, E1, E2, Z for every candidate:
-            # coef blocks at cols 0:9 (edges) and 18:21 (z).
-            coefs = jnp.concatenate([recs_w[:, 0:9], recs_w[:, 18:21]],
-                                    axis=1)                     # (n, 12)
-            coefs = coefs.reshape(n, 4, 3).transpose(2, 1, 0)   # (3,4,n)
-            vals = pmat @ coefs.reshape(3, 4 * n)               # (1024,4n)
-            vals = vals.reshape(-1, 4, n)
-            e0, e1v, e2v, z = (vals[:, 0], vals[:, 1], vals[:, 2],
-                               vals[:, 3])
-            inside = (jnp.minimum(jnp.minimum(e0, e1v), e2v) >= 0.0)
-            inside &= (z > 0.0) & (z <= 1.0)
-            bmin = recs_w[:, 22].astype(jnp.int32)
-            bmax = recs_w[:, 23].astype(jnp.int32)
-            cover = ((tile_x[:, None] >= bmin[None, :] % 4096)
-                     & (tile_x[:, None] <= bmax[None, :] % 4096)
-                     & (ty >= bmin // 4096)[None, :]
-                     & (ty <= bmax // 4096)[None, :])
-            ok = (jnp.arange(n, dtype=jnp.int32) < count)[None, :]
-            key = _pack_key(z, base_local
-                            + jnp.arange(n, dtype=jnp.int32)[None, :])
-            key = jnp.where(inside & cover & ok, key, -1)
-            return jnp.max(key, axis=1)
-
-        wa = jax.lax.dynamic_slice(recs_sorted, (sa, 0),
-                                   (w1, _REC_COLS))
-        wb = jax.lax.dynamic_slice(recs_sorted, (sb, 0),
-                                   (w1, _REC_COLS))
-        best = window(wa, la, 0)
-        best = jnp.maximum(best, window(wb, lb, w1))
-        best = jnp.maximum(best, window(big_recs, big_count, 2 * w1))
-        return best
-
-    return jax.lax.map(one_group,
-                       (group_ids, starts_a, lens_a, starts_b, lens_b))
-
-
-def _segments(offsets, group_ids, ntx, nty):
-    """Window segments for each group: rows ty-1 and ty, subtile columns
-    [gx*GROUP-1, gx*GROUP+GROUP] clamped.  Returns starts/lengths."""
-    gpr = ntx // GROUP
-    ty = group_ids // gpr
-    gx = group_ids % gpr
-    c0 = jnp.maximum(gx * GROUP - 1, 0)
-    c1 = jnp.minimum(gx * GROUP + GROUP - 1, ntx - 1)
-
-    def seg(row, valid):
-        row = jnp.maximum(row, 0)
+    def seg(row, row_valid):
+        row = jnp.clip(row, 0, nty - 1)
         start = offsets[row * ntx + c0]
-        end = offsets[row * ntx + c1 + 1]
-        length = jnp.where(valid, end - start, 0)
+        end = offsets[row * ntx + tx + 1]
+        length = jnp.where(row_valid, end - start, 0)
         return start, length
 
     sa, la = seg(ty - 1, ty >= 1)
@@ -377,19 +294,81 @@ def _segments(offsets, group_ids, ntx, nty):
     return sa, la, sb, lb
 
 
+def _raster_tiles(recs_sorted, tile_ids, segments, ntx):
+    """Rasterize one 32x24 subtile per map step.
+
+    For each subtile: loop its candidate segments in WINDOW-piece
+    slices; each slice evaluates E0/E1/E2/Z for all pieces with one
+    (768,3)@(3,4W) matmul and folds an exact running (z, global-record
+    index) maximum.  Trip counts are data-dependent (fori_loop), so any
+    density is handled — no static budget, no overflow."""
+    sub = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 0)
+    lane = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 1)
+
+    def one_tile(args):
+        tid, sa, la, sb, lb, gstart, glen = args
+        segs = ((sa, la), (sb, lb), (gstart, glen))
+        ty = tid // ntx
+        tx = tid % ntx
+        px = (tx * TILE_W + lane + 0.5).reshape(-1)
+        py = (ty * TILE_H + sub + 0.5).reshape(-1)
+        pmat = jnp.stack([px, py, jnp.ones_like(px)], axis=-1)  # (768,3)
+
+        def slice_eval(start, count, carry):
+            """One WINDOW-piece slice starting at sorted row `start`."""
+            bz, bi = carry
+            recs_w = jax.lax.dynamic_slice(
+                recs_sorted, (start, 0), (WINDOW, _REC_COLS))
+            coefs = jnp.concatenate([recs_w[:, 0:9], recs_w[:, 18:21]],
+                                    axis=1)                     # (W, 12)
+            coefs = coefs.reshape(WINDOW, 4, 3).transpose(2, 1, 0)
+            vals = pmat @ coefs.reshape(3, 4 * WINDOW)          # (768,4W)
+            vals = vals.reshape(-1, 4, WINDOW)
+            e0, e1v, e2v, z = (vals[:, 0], vals[:, 1], vals[:, 2],
+                               vals[:, 3])
+            # Piece-level masks are (W,): within the slice's live count
+            # and bbox-covering this subtile.
+            bmin = recs_w[:, 22].astype(jnp.int32)
+            bmax = recs_w[:, 23].astype(jnp.int32)
+            pok = (jnp.arange(WINDOW, dtype=jnp.int32) < count)
+            pok &= (tx >= bmin % 4096) & (tx <= bmax % 4096)
+            pok &= (ty >= bmin // 4096) & (ty <= bmax // 4096)
+            inside = jnp.minimum(jnp.minimum(e0, e1v), e2v) >= 0.0
+            inside &= (z > 0.0) & (z <= 1.0)
+            zm = jnp.where(inside & pok[None, :], z, -1.0)
+            gidx = start + jnp.arange(WINDOW, dtype=jnp.int32)
+            sz = jnp.max(zm, axis=1)
+            si = jnp.max(jnp.where((zm == sz[:, None]) & (zm > 0.0),
+                                   gidx[None, :], -1), axis=1)
+            # Exact-z merge, later record wins ties (deterministic).
+            take = (sz > bz) | ((sz == bz) & (si > bi))
+            return jnp.where(take, sz, bz), jnp.where(take, si, bi)
+
+        carry = (jnp.full((PX,), -1.0, jnp.float32),
+                 jnp.full((PX,), -1, jnp.int32))
+        for start, length in segs:
+            n = (length + WINDOW - 1) // WINDOW
+
+            def body(i, c, start=start, length=length):
+                return slice_eval(start + i * WINDOW,
+                                  length - i * WINDOW, c)
+
+            carry = jax.lax.fori_loop(0, n, body, carry)
+        return carry
+
+    return jax.lax.map(one_tile, (tile_ids,) + tuple(segments))
+
+
 def raster_visibility(rscene: RasterScene, view_proj, width: int,
                       height: int, camera_near):
     """Full-frame rasterized nearest-opaque visibility.
 
-    Returns (hit, tri, u, v, w_eye, ok) — each (H*W,) in RASTER ROW
-    ORDER (row-major over (ty, sub, gx, lane) regrouped to (H, W); use
-    `to_tiled` to match a tiled_order ray layout), plus the scalar
-    `ok` (False when a static window/segment budget overflowed — the
-    caller must then use the traced path; the raster never silently
-    drops geometry)."""
+    Returns (hit, tri, u, v, w_eye) — each (H*W,) in RASTER ROW ORDER
+    (row-major over (ty, tx, sub, lane) regrouped to (H, W); use
+    `to_tiled` to match a tiled_order ray layout)."""
     ntx = width // TILE_W
     nty = height // TILE_H
-    n_groups = (ntx // GROUP) * nty
+    n_tiles = ntx * nty
 
     verts = jnp.stack([rscene.v0, rscene.v0 + rscene.e1,
                        rscene.v0 + rscene.e2], axis=1)     # (T, 3, 3)
@@ -410,69 +389,34 @@ def raster_visibility(rscene: RasterScene, view_proj, width: int,
     perm = jnp.argsort(key)
     key_sorted = key[perm]
     recs_sorted = recs[perm]
-    # Window slices are static-size; pad so they always fit (pad rows
-    # sit past every segment count and are masked out).
+    # Slices are static-size; pad so they always fit (pad rows sit past
+    # every segment count and are masked out).
     recs_sorted = jnp.concatenate(
-        [recs_sorted,
-         jnp.zeros((max(HOT_WINDOW, BIG_MAX), _REC_COLS), jnp.float32)], 0)
-    bounds = jnp.arange(ntx * nty + 1, dtype=jnp.int32)
+        [recs_sorted, jnp.zeros((WINDOW, _REC_COLS), jnp.float32)], 0)
+    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32)
     offsets = jnp.searchsorted(key_sorted, bounds).astype(jnp.int32)
     off_big = jnp.searchsorted(key_sorted, _KEY_BIG).astype(jnp.int32)
     off_cull = jnp.searchsorted(key_sorted, _KEY_CULL).astype(jnp.int32)
-    big_count = off_cull - off_big
-    big_recs = jax.lax.dynamic_slice(recs_sorted, (off_big, 0),
-                                     (BIG_MAX, _REC_COLS))
 
-    group_ids = jnp.arange(n_groups, dtype=jnp.int32)
-    sa, la, sb, lb = _segments(offsets, group_ids, ntx, nty)
-    bc = jnp.minimum(big_count, BIG_MAX)
-    keys = _raster_groups(recs_sorted, group_ids, sa,
-                          jnp.minimum(la, WINDOW), sb,
-                          jnp.minimum(lb, WINDOW), big_recs, bc,
-                          WINDOW, ntx)
-    w1_used = jnp.full((n_groups,), WINDOW, jnp.int32)
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    sa, la, sb, lb = _segments(offsets, tile_ids, ntx, nty)
+    gstart = jnp.full((n_tiles,), off_big, jnp.int32)
+    glen = jnp.full((n_tiles,), off_cull - off_big, jnp.int32)
+    best_z, best_i = _raster_tiles(
+        recs_sorted, tile_ids, (sa, la, sb, lb, gstart, glen), ntx)
 
-    # Phase 2: re-raster the groups whose segments overflowed WINDOW.
-    hot_score = jnp.maximum(la, lb)
-    hot = hot_score > WINDOW
-    if HOT_MAX < n_groups:
-        _, hot_ids = jax.lax.top_k(hot_score, HOT_MAX)
-    else:
-        hot_ids = group_ids
-    h_sa, h_la, h_sb, h_lb = _segments(offsets, hot_ids, ntx, nty)
-    hot_keys = _raster_groups(recs_sorted, hot_ids, h_sa,
-                              jnp.minimum(h_la, HOT_WINDOW), h_sb,
-                              jnp.minimum(h_lb, HOT_WINDOW), big_recs,
-                              bc, HOT_WINDOW, ntx)
-    keys = keys.at[hot_ids].set(hot_keys)
-    w1_used = w1_used.at[hot_ids].set(HOT_WINDOW)
-    starts_a = sa.at[hot_ids].set(h_sa)
-    starts_b = sb.at[hot_ids].set(h_sb)
-
-    ok = (big_count <= BIG_MAX) & (jnp.max(hot_score) <= HOT_WINDOW)
-    ok &= jnp.sum(hot.astype(jnp.int32)) <= HOT_MAX
-
-    # Resolve winners: one global row gather + exact linear-form evals.
-    keys = keys.reshape(-1)
-    hit = keys >= 0
-    local = keys & ((1 << _IDX_BITS) - 1)
-    w1g = jnp.repeat(w1_used, TILE_H * GROUP_W)
-    sag = jnp.repeat(starts_a, TILE_H * GROUP_W)
-    sbg = jnp.repeat(starts_b, TILE_H * GROUP_W)
-    gidx = jnp.where(local < w1g, sag + local,
-                     jnp.where(local < 2 * w1g, sbg + local - w1g,
-                               off_big + local - 2 * w1g))
-    gidx = jnp.clip(gidx, 0, recs_sorted.shape[0] - 1)
+    best_i = best_i.reshape(-1)
+    hit = best_i >= 0
+    gidx = jnp.clip(best_i, 0, recs_sorted.shape[0] - 1)
     win = recs_sorted[gidx]                                # (N, 24)
 
-    gpr = ntx // GROUP
-    g = jnp.arange(n_groups, dtype=jnp.int32)
-    px_g = ((g % gpr) * GROUP_W)[:, None, None] + jax.lax.broadcasted_iota(
-        jnp.int32, (1, TILE_H, GROUP_W), 2)
-    py_g = ((g // gpr) * TILE_H)[:, None, None] + jax.lax.broadcasted_iota(
-        jnp.int32, (1, TILE_H, GROUP_W), 1)
-    px = px_g.reshape(-1).astype(jnp.float32) + 0.5
-    py = py_g.reshape(-1).astype(jnp.float32) + 0.5
+    t = jnp.arange(n_tiles, dtype=jnp.int32)
+    px_t = ((t % ntx) * TILE_W)[:, None, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (1, TILE_H, TILE_W), 2)
+    py_t = ((t // ntx) * TILE_H)[:, None, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (1, TILE_H, TILE_W), 1)
+    px = px_t.reshape(-1).astype(jnp.float32) + 0.5
+    py = py_t.reshape(-1).astype(jnp.float32) + 0.5
 
     def ev(base):
         return win[:, base] * px + win[:, base + 1] * py + win[:, base + 2]
@@ -485,19 +429,50 @@ def raster_visibility(rscene: RasterScene, view_proj, width: int,
     w_eye = jnp.where(hit, inv_fw, -1.0)
     u = jnp.where(hit, u, 0.0)
     v = jnp.where(hit, v, 0.0)
-    return hit, tri, u, v, w_eye, ok
+    return hit, tri, u, v, w_eye
+
+
+def raster_stats(rscene: RasterScene, view_proj, width: int, height: int,
+                 camera_near):
+    """Binning statistics for tuning: (pieces, big_count, max_segment,
+    mean_segment) on a representative frame."""
+    ntx = width // TILE_W
+    nty = height // TILE_H
+    verts = jnp.stack([rscene.v0, rscene.v0 + rscene.e1,
+                       rscene.v0 + rscene.e2], axis=1)
+    ones = jnp.ones(verts.shape[:2] + (1,), jnp.float32)
+    clip = jnp.concatenate([verts, ones], -1) @ view_proj.T
+    bary = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32)[None],
+                            clip.shape[:1] + (3, 3))
+    w_eps = jnp.maximum(jnp.asarray(camera_near, jnp.float32) * 0.5, 1e-4)
+    (pa, ba, va), (pb, bbb, vb) = _clip_near(clip, bary, w_eps)
+    valid = rscene.in_raster & (jnp.abs(rscene.v0[:, 0]) < 3.0e36)
+    pp = jnp.concatenate([pa, pb], 0)
+    bbs = jnp.concatenate([ba, bbb], 0)
+    vv = jnp.concatenate([va & valid, vb & valid], 0)
+    ds2 = jnp.concatenate([rscene.double_sided, rscene.double_sided], 0)
+    _, key = _piece_records(pp, bbs, vv, ds2, width, height, ntx, nty)
+    key_sorted = jnp.sort(key)
+    bounds = jnp.arange(ntx * nty + 1, dtype=jnp.int32)
+    offsets = jnp.searchsorted(key_sorted, bounds).astype(jnp.int32)
+    off_big = jnp.searchsorted(key_sorted, _KEY_BIG)
+    off_cull = jnp.searchsorted(key_sorted, _KEY_CULL)
+    tile_ids = jnp.arange(ntx * nty, dtype=jnp.int32)
+    _, la, _, lb = _segments(offsets, tile_ids, ntx, nty)
+    seg = la + lb
+    return {"pieces": int(off_cull), "big_count": int(off_cull - off_big),
+            "max_segment": int(jnp.max(seg)),
+            "mean_segment": float(jnp.mean(seg.astype(jnp.float32)))}
 
 
 def to_tiled(arr, width: int, height: int, tile):
-    """Raster row order (ty, sub, gx, lane ~ row-major (H, W)) ->
+    """Raster row order (ty, tx, sub, lane ~ row-major (H, W)) ->
     tiled_order ray order for tile (tw, th), as pure reshape/transpose
     (never an index gather)."""
     tw, th = tile
     c = arr.shape[1:]
-    # Raster natural order is (ty, gx, sub, lane): group-major rows of
-    # (8, 128) pixel blocks.
-    frame = arr.reshape((height // TILE_H, width // GROUP_W, TILE_H,
-                         GROUP_W) + c)
+    frame = arr.reshape((height // TILE_H, width // TILE_W, TILE_H,
+                         TILE_W) + c)
     frame = frame.transpose(0, 2, 1, 3, *range(4, 4 + len(c)))
     frame = frame.reshape((height, width) + c)
     r = frame.reshape((height // th, th, width // tw, tw) + c)
@@ -509,8 +484,8 @@ def raster_rec(rscene: RasterScene, view_proj, width: int,
                height: int, tile, d, camera_near):
     """trace_nearest-compatible rec from the raster, in the caller's
     tiled_order ray layout (tile = (tw, th)).  `d` = unit ray directions
-    in that same layout.  Returns (rec, ok)."""
-    hit, tri, u, v, w_eye, ok = raster_visibility(
+    in that same layout.  Returns the rec dict."""
+    hit, tri, u, v, w_eye = raster_visibility(
         rscene, view_proj, width, height, camera_near)
     hit = to_tiled(hit, width, height, tile)
     tri = to_tiled(tri, width, height, tile)
@@ -526,4 +501,4 @@ def raster_rec(rscene: RasterScene, view_proj, width: int,
     t = jnp.where(hit, w_eye / cosf, -1.0)
     rec = {"hit": hit, "tri": tri, "t": t,
            "u": jnp.clip(u, 0.0, 1.0), "v": jnp.clip(v, 0.0, 1.0)}
-    return rec, ok
+    return rec

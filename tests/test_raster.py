@@ -25,7 +25,7 @@ from steeljax.render.pt.integrator import tiled_order
 from steeljax.render.pt.renderer import prepare_scene
 from steeljax.scene.builtin import make_cornell_scene, make_stress_scene
 
-W, H = 128, 64
+W, H = 128, 72
 
 
 def _rays(frame, width, height, px, py):
@@ -86,18 +86,19 @@ def test_supported_extents():
     assert supported(1920, 1080)
     assert supported(1280, 720)
     assert supported(W, H)
+    assert not supported(128, 64)
     assert not supported(100, 64)
     assert not supported(128, 30)
 
 
 def test_to_tiled_roundtrip():
     px, py, tile = tiled_order(W, H)
-    # Values laid out in raster natural order (ty, gx, sub, lane) must
+    # Values laid out in raster natural order (ty, tx, sub, lane) must
     # land at their (py, px) pixels after to_tiled.
     frame_vals = np.arange(W * H, dtype=np.int32).reshape(H, W)
     raster_order = frame_vals.reshape(
         H // raster_lib.TILE_H, raster_lib.TILE_H,
-        W // raster_lib.GROUP_W, raster_lib.GROUP_W
+        W // raster_lib.TILE_W, raster_lib.TILE_W
     ).transpose(0, 2, 1, 3).reshape(-1)
     out = np.asarray(to_tiled(jnp.asarray(raster_order), W, H, tile))
     expect = frame_vals[np.asarray(py), np.asarray(px)]
@@ -111,9 +112,8 @@ def test_raster_matches_trace_cornell():
     scene = make_cornell_scene(sphere_detail=8)
     flat, tables, frame, tile, o, d = _setup(scene)
     rscene = prepare_raster(flat, tables)
-    rec_r, ok = raster_rec(rscene, jnp.asarray(frame.view_proj), W, H,
-                           tile, d, frame.camera_near)
-    assert bool(ok)
+    rec_r = raster_rec(rscene, jnp.asarray(frame.view_proj), W, H,
+                       tile, d, frame.camera_near)
     assert bool(np.asarray(rec_r["hit"]).mean() > 0.3)
     rec_t = trace_opaque(flat, tables, o, d, frame.camera_near,
                          frame.camera_far, 4)
@@ -127,9 +127,8 @@ def test_raster_matches_trace_stress():
     scene = make_stress_scene(instances=12, sphere_detail=10)
     flat, tables, frame, tile, o, d = _setup(scene)
     rscene = prepare_raster(flat, tables)
-    rec_r, ok = raster_rec(rscene, jnp.asarray(frame.view_proj), W, H,
-                           tile, d, frame.camera_near)
-    assert bool(ok)
+    rec_r = raster_rec(rscene, jnp.asarray(frame.view_proj), W, H,
+                       tile, d, frame.camera_near)
     rec_t = trace_opaque(flat, tables, o, d, frame.camera_near,
                          frame.camera_far, 4)
     _compare(rec_r, rec_t, d, budget=0.03)
@@ -153,24 +152,21 @@ def test_raster_matches_trace_foliage_alpha():
     _compare(rec_r, rec_t, d, budget=0.03)
 
 
-def test_overflow_falls_back_to_trace(monkeypatch):
-    """When the static binning budgets overflow, ok=False and
-    raster_or_trace_opaque must return exactly the traced rec."""
+def test_dense_segments_slice_correctly(monkeypatch):
+    """The slice loops must handle segments much longer than WINDOW:
+    shrinking WINDOW to 16 forces multi-slice paths everywhere and the
+    result must be IDENTICAL to the default-window raster."""
     scene = make_cornell_scene(sphere_detail=8)
     flat, tables, frame, tile, o, d = _setup(scene)
     rscene = prepare_raster(flat, tables)
-    monkeypatch.setattr(raster_lib, "BIG_MAX", 1)
-    _, ok = raster_rec(rscene, jnp.asarray(frame.view_proj), W, H,
+    rec_a = raster_rec(rscene, jnp.asarray(frame.view_proj), W, H,
                        tile, d, frame.camera_near)
-    assert not bool(ok)
-    rec = raster_or_trace_opaque(
-        flat, tables, o, d, frame.camera_near, frame.camera_far, 4,
-        (rscene, W, H, tile), jnp.asarray(frame.view_proj))
-    rec_t = trace_opaque(flat, tables, o, d, frame.camera_near,
-                         frame.camera_far, 4)
+    monkeypatch.setattr(raster_lib, "WINDOW", 16)
+    rec_b = raster_rec(rscene, jnp.asarray(frame.view_proj), W, H,
+                       tile, d, frame.camera_near)
     for k in ("hit", "tri", "t", "u", "v"):
-        np.testing.assert_array_equal(np.asarray(rec[k]),
-                                      np.asarray(rec_t[k]))
+        np.testing.assert_array_equal(np.asarray(rec_a[k]),
+                                      np.asarray(rec_b[k]))
 
 
 def test_hybrid_renderer_engages_raster():
