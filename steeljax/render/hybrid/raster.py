@@ -62,7 +62,8 @@ TILE_W = 32
 TILE_H = 24
 PX = TILE_W * TILE_H
 SPAN = 2      # max subtile span (cols AND rows) before a piece is "big"
-WINDOW = 128  # pieces evaluated per slice (one MXU matmul per slice)
+WINDOW = 256  # pieces evaluated per slice (one MXU matmul per slice)
+_MAP_BATCH = 64  # subtiles vmapped per map step (density-sorted)
 _KEY_BIG = np.int32(1 << 29)
 _KEY_CULL = np.int32(1 << 30)
 _REC_COLS = 24
@@ -298,10 +299,12 @@ def _raster_tiles(recs_sorted, tile_ids, segments, ntx):
     """Rasterize one 32x24 subtile per map step.
 
     For each subtile: loop its candidate segments in WINDOW-piece
-    slices; each slice evaluates E0/E1/E2/Z for all pieces with one
-    (768,3)@(3,4W) matmul and folds an exact running (z, global-record
-    index) maximum.  Trip counts are data-dependent (fori_loop), so any
-    density is handled — no static budget, no overflow."""
+    slices; each slice evaluates all 7 linear forms for all pieces with
+    one (768,3)@(3,7W) matmul, folds an exact running (z, tri) maximum,
+    and extracts the winner's Fu/Fv/Fw/tri by equality-select — so no
+    post-pass winner gather is needed.  Trip counts are data-dependent
+    (fori_loop), so any density is handled — no static budget, no
+    overflow."""
     sub = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 0)
     lane = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 1)
 
@@ -316,16 +319,16 @@ def _raster_tiles(recs_sorted, tile_ids, segments, ntx):
 
         def slice_eval(start, count, carry):
             """One WINDOW-piece slice starting at sorted row `start`."""
-            bz, bi = carry
+            bz, bu, bv, bw, bt = carry
             recs_w = jax.lax.dynamic_slice(
                 recs_sorted, (start, 0), (WINDOW, _REC_COLS))
-            coefs = jnp.concatenate([recs_w[:, 0:9], recs_w[:, 18:21]],
-                                    axis=1)                     # (W, 12)
-            coefs = coefs.reshape(WINDOW, 4, 3).transpose(2, 1, 0)
-            vals = pmat @ coefs.reshape(3, 4 * WINDOW)          # (768,4W)
-            vals = vals.reshape(-1, 4, WINDOW)
-            e0, e1v, e2v, z = (vals[:, 0], vals[:, 1], vals[:, 2],
-                               vals[:, 3])
+            coefs = recs_w[:, 0:21].reshape(WINDOW, 7, 3).transpose(
+                2, 1, 0)
+            vals = pmat @ coefs.reshape(3, 7 * WINDOW)          # (768,7W)
+            vals = vals.reshape(-1, 7, WINDOW)
+            e0, e1v, e2v = vals[:, 0], vals[:, 1], vals[:, 2]
+            fw, fu, fv = vals[:, 3], vals[:, 4], vals[:, 5]
+            z = vals[:, 6]
             # Piece-level masks are (W,): within the slice's live count
             # and bbox-covering this subtile.
             bmin = recs_w[:, 22].astype(jnp.int32)
@@ -336,16 +339,32 @@ def _raster_tiles(recs_sorted, tile_ids, segments, ntx):
             inside = jnp.minimum(jnp.minimum(e0, e1v), e2v) >= 0.0
             inside &= (z > 0.0) & (z <= 1.0)
             zm = jnp.where(inside & pok[None, :], z, -1.0)
-            gidx = start + jnp.arange(WINDOW, dtype=jnp.int32)
             sz = jnp.max(zm, axis=1)
-            si = jnp.max(jnp.where((zm == sz[:, None]) & (zm > 0.0),
-                                   gidx[None, :], -1), axis=1)
-            # Exact-z merge, later record wins ties (deterministic).
-            take = (sz > bz) | ((sz == bz) & (si > bi))
-            return jnp.where(take, sz, bz), jnp.where(take, si, bi)
+            # Winner attributes by equality-select.  Exact-z ties
+            # (coplanar pieces sharing an edge through the pixel
+            # center) must not MIX attributes from different pieces,
+            # so first pin ONE winning piece index, then select every
+            # attribute from that piece.
+            lidx = jnp.arange(WINDOW, dtype=jnp.int32)
+            win = (zm == sz[:, None]) & (zm > 0.0)
+            si = jnp.max(jnp.where(win, lidx[None, :], -1), axis=1)
+            one = win & (lidx[None, :] == si[:, None])
+
+            def pick(a):
+                return jnp.max(jnp.where(one, a, -3.0e38), axis=1)
+
+            su, sv, sw = pick(fu), pick(fv), pick(fw)
+            st = pick(jnp.broadcast_to(recs_w[None, :, 21], zm.shape))
+            take = sz > bz
+            return (jnp.where(take, sz, bz), jnp.where(take, su, bu),
+                    jnp.where(take, sv, bv), jnp.where(take, sw, bw),
+                    jnp.where(take, st, bt))
 
         carry = (jnp.full((PX,), -1.0, jnp.float32),
-                 jnp.full((PX,), -1, jnp.int32))
+                 jnp.zeros((PX,), jnp.float32),
+                 jnp.zeros((PX,), jnp.float32),
+                 jnp.full((PX,), 1.0, jnp.float32),
+                 jnp.full((PX,), -1.0, jnp.float32))
         for start, length in segs:
             n = (length + WINDOW - 1) // WINDOW
 
@@ -356,7 +375,15 @@ def _raster_tiles(recs_sorted, tile_ids, segments, ntx):
             carry = jax.lax.fori_loop(0, n, body, carry)
         return carry
 
-    return jax.lax.map(one_tile, (tile_ids,) + tuple(segments))
+    # Batched map: a plain per-tile scan pays ~170 us of while-step
+    # overhead per subtile (606 ms frames); vmapping chunks runs the
+    # slice loops lockstep to the chunk's max trip count.  The CALLER
+    # passes tile_ids ordered by descending segment length so each
+    # chunk's tiles have similar density and the lockstep overrun is
+    # small (unsorted, one dense tile drags 63 sparse ones through its
+    # trip count).
+    return jax.lax.map(one_tile, (tile_ids,) + tuple(segments),
+                       batch_size=_MAP_BATCH)
 
 
 def raster_visibility(rscene: RasterScene, view_proj, width: int,
@@ -402,33 +429,23 @@ def raster_visibility(rscene: RasterScene, view_proj, width: int,
     sa, la, sb, lb = _segments(offsets, tile_ids, ntx, nty)
     gstart = jnp.full((n_tiles,), off_big, jnp.int32)
     glen = jnp.full((n_tiles,), off_cull - off_big, jnp.int32)
-    best_z, best_i = _raster_tiles(
-        recs_sorted, tile_ids, (sa, la, sb, lb, gstart, glen), ntx)
+    # Process subtiles in DESCENDING density order so each vmapped map
+    # chunk runs a uniform slice count (see _raster_tiles), then
+    # inverse-permute the per-tile results back to raster order.
+    order = jnp.argsort(-(la + lb))
+    bz, fu, fv, fw, ft = _raster_tiles(
+        recs_sorted, tile_ids[order],
+        (sa[order], la[order], sb[order], lb[order], gstart, glen), ntx)
+    inv = jnp.argsort(order)
+    bz, fu, fv, fw, ft = (a[inv].reshape(-1)
+                          for a in (bz, fu, fv, fw, ft))
 
-    best_i = best_i.reshape(-1)
-    hit = best_i >= 0
-    gidx = jnp.clip(best_i, 0, recs_sorted.shape[0] - 1)
-    win = recs_sorted[gidx]                                # (N, 24)
-
-    t = jnp.arange(n_tiles, dtype=jnp.int32)
-    px_t = ((t % ntx) * TILE_W)[:, None, None] + jax.lax.broadcasted_iota(
-        jnp.int32, (1, TILE_H, TILE_W), 2)
-    py_t = ((t // ntx) * TILE_H)[:, None, None] + jax.lax.broadcasted_iota(
-        jnp.int32, (1, TILE_H, TILE_W), 1)
-    px = px_t.reshape(-1).astype(jnp.float32) + 0.5
-    py = py_t.reshape(-1).astype(jnp.float32) + 0.5
-
-    def ev(base):
-        return win[:, base] * px + win[:, base + 1] * py + win[:, base + 2]
-
-    fw = ev(9)
+    hit = bz > 0.0
     inv_fw = 1.0 / jnp.where(jnp.abs(fw) < 1e-30, 1e-30, fw)
-    u = ev(12) * inv_fw
-    v = ev(15) * inv_fw
-    tri = jnp.where(hit, win[:, 21].astype(jnp.int32), -1)
+    u = jnp.where(hit, fu * inv_fw, 0.0)
+    v = jnp.where(hit, fv * inv_fw, 0.0)
+    tri = jnp.where(hit, ft.astype(jnp.int32), -1)
     w_eye = jnp.where(hit, inv_fw, -1.0)
-    u = jnp.where(hit, u, 0.0)
-    v = jnp.where(hit, v, 0.0)
     return hit, tri, u, v, w_eye
 
 

@@ -168,14 +168,23 @@ class HybridRenderer:
             self.bake_light_volume()
 
     def _prepare_raster(self):
-        """Device raster inputs for the rasterized G-buffer, or None when
-        the frame/scene keeps the traced path (non-tiling extents,
-        orthographic camera, instanced/treelet tables, or
-        STEELJAX_RASTER=0)."""
+        """Device raster inputs for the rasterized G-buffer, or None
+        (the default) when the traced path is kept.
+
+        OPT-IN (STEELJAX_RASTER=1): measured on-chip, the tile-binned
+        raster LOSES to the packet-traced primary pass at 1080p on the
+        220k-tri bench scene (~310 ms visibility vs 64 ms traced incl.
+        fused shading): the BVH's ordered descent prunes occluded
+        geometry logarithmically while the raster pays linear local
+        density, and XLA's while-loop slices cannot pipeline their HBM
+        window reads (~23 us/slice fixed latency).  Full ablation in
+        ARCHITECTURE.md "Rasterized G-buffer".  Kept as the parity
+        analog of the reference's raster pipeline and for
+        CPU-oracle-tested exactness."""
         import os
 
         from steeljax.render.hybrid.raster import prepare_raster, supported
-        if os.environ.get("STEELJAX_RASTER", "1") == "0":
+        if os.environ.get("STEELJAX_RASTER", "0") != "1":
             return None
         if not supported(self.width, self.height):
             return None

@@ -169,12 +169,15 @@ def test_dense_segments_slice_correctly(monkeypatch):
                                       np.asarray(rec_b[k]))
 
 
-def test_hybrid_renderer_engages_raster():
-    """HybridRenderer must build raster inputs for tiling extents and
+def test_hybrid_renderer_engages_raster(monkeypatch):
+    """With STEELJAX_RASTER=1 (opt-in; measured slower than the traced
+    primary pass on TPU — renderer._prepare_raster docstring),
+    HybridRenderer must build raster inputs for tiling extents and
     render a frame equal (tight RMSE) to the traced-path frame."""
     import steeljax.render.hybrid.renderer as renderer_lib
     from steeljax.core.config import RenderConfig
 
+    monkeypatch.setenv("STEELJAX_RASTER", "1")
     scene = make_cornell_scene(sphere_detail=8)
     config = RenderConfig(width=W, height=H)
     r = renderer_lib.HybridRenderer(scene, W, H, config)
