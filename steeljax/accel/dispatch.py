@@ -18,10 +18,20 @@ thing stays one jitted program.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
+
+# A/B knob: cap the fused-shading mode of nearest traces
+# (STEELJAX_SHADE_MODE=0|1 caps; unset = use the tables' mode).  The
+# fused leaf-loop attribute interpolation pays per CANDIDATE hit, the
+# post-trace shade_rows gather per RAY — which side wins depends on the
+# candidate multiplicity of the workload.
+_env_mode = os.environ.get("STEELJAX_SHADE_MODE")
+_SHADE_MODE_OVERRIDE = int(_env_mode) if _env_mode is not None else None
 
 from steeljax.accel import traverse
 from steeljax.accel import pallas_traverse as ptv
@@ -421,6 +431,8 @@ def trace_nearest(tables, tri_pos, tri_double_sided, o, d,
             chunk_tmax = tmax
 
         mode = tables.shade_mode if tables.use_pallas else 0
+        if _SHADE_MODE_OVERRIDE is not None and tables.use_pallas:
+            mode = min(mode, _SHADE_MODE_OVERRIDE)
 
         def run(chunk=chunk, chunk_tmax=chunk_tmax):
             if tables.use_pallas:

@@ -26,16 +26,24 @@ analog, built the TPU way:
     per-array gathers" rule the PT wavefront repack follows).
  3. RASTER (XLA map over subtiles): each subtile's 768 pixels evaluate
     their candidate segments in WINDOW-piece slices — one (768,3) @
-    (3,4*W) MXU matmul per slice yields every edge/depth form, and the
-    z-buffer is a running exact (z, global index) max.  Slice loops are
-    fori_loops with data-dependent trip counts, so arbitrarily dense
-    subtiles and arbitrarily long big segments are CORRECT by
-    construction — cost scales with actual density and there are no
-    static budgets to overflow (the 32x8/128-piece windowed first cut
-    of this design overflowed on the 1080p bench scene and had to fall
-    back; this one never does).
- 4. RESOLVE: winner records are fetched with one global row gather and
-    the exact u/v/t recomputed per pixel from the linear forms.
+    (3,7*W) MXU matmul per slice yields every linear form, the
+    z-buffer is a running exact-z max, and the winner's Fu/Fv/Fw/tri
+    are extracted in-loop by equality-select against ONE pinned
+    winning piece (so coplanar exact-z ties never mix attributes).
+    Slice loops are fori_loops with data-dependent trip counts, so
+    arbitrarily dense subtiles and arbitrarily long big segments are
+    CORRECT by construction — no static budgets to overflow (the
+    32x8/128-piece windowed first cut overflowed on the 1080p bench
+    scene).  Subtiles are processed in descending-density order so
+    each vmapped chunk runs a uniform trip count.
+ 4. RESOLVE: u = Fu/Fw, v = Fv/Fw, w_eye = 1/Fw per pixel — no winner
+    gather.
+
+STATUS: opt-in (STEELJAX_RASTER=1).  Measured on-chip this loses to
+the packet-traced primary pass (~310 ms vs 64 ms at 1080p/220k tris);
+the ablation and the two structural reasons live in ARCHITECTURE.md
+"Hybrid rendering".  Kept as the parity analog of the reference's
+raster G-buffer pipeline, oracle-tested exact on CPU.
 
 Outputs match trace_nearest's contract ({hit, tri, t, u, v}, misses at
 t=-1/tri=-1), so the G-buffer's alpha-test retrace and shading paths are
