@@ -169,6 +169,8 @@ def test_dense_segments_slice_correctly(monkeypatch):
                                       np.asarray(rec_b[k]))
 
 
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="360s end-to-end render of an opt-in path (RUN_SLOW=1)")
 def test_hybrid_renderer_engages_raster(monkeypatch):
     """With STEELJAX_RASTER=1 (opt-in; measured slower than the traced
     primary pass on TPU — renderer._prepare_raster docstring),
