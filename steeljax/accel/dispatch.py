@@ -62,6 +62,15 @@ TREELET_SHADE_VMEM_BUDGET = 100 * 1024 * 1024
 # kernel — measured 23 -> 0.4 Mray/s on the 1.6M-tri stress scene).
 BIG_CHUNK_ROWS = 400_000
 SUBLANES_BIG = 16
+# Screen-coherent traces (primary/shadow/forward-peel rays in tile
+# order) want SMALLER packets on mid/large scenes: a 16-sublane packet
+# is a tighter screen tile, so its union frustum sweeps ~half the leaf
+# rows per ray (hybrid-bench primary 61.9 -> 55.8 ms, sun shadow 78.4 ->
+# 69.4 ms, on-chip round 4; /tmp/subl2.log).  Small scenes (Cornell) pop
+# so few rows the per-packet floor dominates and 32 stands; incoherent
+# bounce packets keep the BIG_CHUNK_ROWS rule (unions do not shrink).
+SUBLANES_COHERENT = 16
+COHERENT_MIN_ROWS = 100_000
 
 
 @struct.dataclass
@@ -407,7 +416,7 @@ def _skippable(fn, any_possible, template):
 
 def trace_nearest(tables, tri_pos, tri_double_sided, o, d,
                   t_min, t_max, cull_backface: bool = True,
-                  shared_origin: bool = False):
+                  shared_origin: bool = False, coherent: bool = False):
     # Two-level instanced tables answer the same query; callers (hybrid
     # stages, GI bakes) stay backend-agnostic.
     from steeljax.accel.instances import (InstancedTables,
@@ -440,6 +449,8 @@ def trace_nearest(tables, tri_pos, tri_double_sided, o, d,
                 # halving the packet trims wasted lane work ~10%.
                 subl = (SUBLANES_BIG if chunk.rows > BIG_CHUNK_ROWS
                         else ptv.SUBLANES)
+                if coherent and chunk.rows > COHERENT_MIN_ROWS:
+                    subl = SUBLANES_COHERENT
                 return ptv.trace_nearest_packet8(
                     chunk.bvh8, chunk.tris_packed, o, d, t_min, chunk_tmax,
                     cull_backface=cull_backface, packet_sublanes=subl,
@@ -486,7 +497,7 @@ def trace_nearest(tables, tri_pos, tri_double_sided, o, d,
 
 
 def trace_any(tables, tri_pos, tri_double_sided, o, d,
-              t_min, t_max):
+              t_min, t_max, coherent: bool = False):
     from steeljax.accel.instances import (InstancedTables,
                                           trace_nearest_instanced)
     if isinstance(tables, InstancedTables):
@@ -513,9 +524,14 @@ def trace_any(tables, tri_pos, tri_double_sided, o, d,
 
         def run(chunk=chunk, chunk_tmax=chunk_tmax):
             if tables.use_pallas:
+                subl = (SUBLANES_BIG if chunk.rows > BIG_CHUNK_ROWS
+                        else ptv.SUBLANES)
+                if coherent and chunk.rows > COHERENT_MIN_ROWS:
+                    subl = SUBLANES_COHERENT
                 return ptv.trace_nearest_packet8(
                     chunk.bvh8, chunk.tris_packed, o, d, t_min, chunk_tmax,
                     cull_backface=False, any_hit=True,
+                    packet_sublanes=subl,
                     alpha_mask=tables.alpha_masked,
                     fine_mask_rows=chunk.fine_mask_rows)["hit"]
             return traverse.trace_any(

@@ -222,7 +222,7 @@ def _traverse_kernel8(*refs, max_leaf: int,
                       cull_backface: bool, any_hit: bool = False,
                       shade_mode: int = 0, shared_origin: bool = False,
                       alpha_mask: bool = False, width: int = 8,
-                      fine: bool = False):
+                      fine: bool = False, counters: bool = False):
     """Packet traversal over wide supernode rows (steeljax.accel.bvh.BVH8).
 
     Stack entries encode both node kinds: >= 0 is a supernode id; < 0 is a
@@ -251,6 +251,7 @@ def _traverse_kernel8(*refs, max_leaf: int,
     if shade_mode == 2:
         out_tx, out_ty, out_tz, out_ux, out_uy, out_uvd = (
             next(it) for _ in range(6))
+    out_cnt = next(it) if counters else None
     stack_ref = next(it)
     sp_ref = next(it)
     bt_ref, bu_ref, bv_ref, bi_ref = (next(it) for _ in range(4))
@@ -260,6 +261,7 @@ def _traverse_kernel8(*refs, max_leaf: int,
     if shade_mode == 2:
         btx_ref, bty_ref, btz_ref, bux_ref, buy_ref, buvd_ref = (
             next(it) for _ in range(6))
+    cnt_ref = next(it) if counters else None
 
     def safe_inv(d):
         return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
@@ -303,6 +305,10 @@ def _traverse_kernel8(*refs, max_leaf: int,
 
     stack_ref[0] = 0
     sp_ref[0] = 1
+    if counters:
+        cnt_ref[0] = 0
+        cnt_ref[1] = 0
+        cnt_ref[2] = 0
 
     def cond(_):
         return sp_ref[0] > 0
@@ -314,6 +320,8 @@ def _traverse_kernel8(*refs, max_leaf: int,
 
         @pl.when(entry >= 0)
         def _supernode():
+            if counters:
+                cnt_ref[0] = cnt_ref[0] + 1
             row = snodes_ref[entry]  # (128,)
             big = jnp.float32(3.0e38)
             stride = LANES // width
@@ -371,8 +379,21 @@ def _traverse_kernel8(*refs, max_leaf: int,
             enc = -entry - 1
             row_base = enc & ((1 << _LEAF_BITS) - 1)
             cnt = enc >> _LEAF_BITS
+            if counters:
+                cnt_ref[2] = cnt_ref[2] + 1
 
+            # NOTE (round 4, measured): a pop-time row-AABB re-test
+            # against the CURRENT best-t (row boxes in the 8 pad lanes)
+            # skipped 12-29% of row bodies on every workload and was
+            # SLOWER on all of them (stress diffuse 818 -> 892 ms at
+            # 29.4% skipped; hybrid primary 61.9 -> 65.6 at 17.2%): the
+            # per-row @pl.when serializes the row loop and defeats
+            # Mosaic's pipelining of consecutive row reads, the same
+            # failure mode as the round-2b interleaved sub-packets.
+            # Don't re-try conditional row skipping.
             def intersect_row(r):
+                if counters:
+                    cnt_ref[1] = cnt_ref[1] + 1
                 trow = tris_ref[row_base + r]  # (128,) = TRI_PER_ROW recs
                 mrow = masks_ref[row_base + r] if fine else None
                 if shade_mode == 1:
@@ -543,13 +564,24 @@ def _traverse_kernel8(*refs, max_leaf: int,
         out_ux[:] = bux_ref[:]
         out_uy[:] = buy_ref[:]
         out_uvd[:] = buvd_ref[:]
+    if counters:
+        # Per-packet traversal-work telemetry (probe-only): lane 0 =
+        # supernode pops, lane 1 = triangle-row bodies executed, lane 2 =
+        # leaf entries popped.  Full-array output spec (a (1, 128) block
+        # does not lower); each grid step writes its own row.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        vals = jnp.where(
+            lane == 0, cnt_ref[0],
+            jnp.where(lane == 1, cnt_ref[1],
+                      jnp.where(lane == 2, cnt_ref[2], 0)))
+        out_cnt[pl.ds(pl.program_id(0), 1)] = vals
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("max_leaf", "depth", "cull_backface", "any_hit",
                      "packet_sublanes", "shade_mode", "shared_origin",
-                     "alpha_mask", "width"))
+                     "alpha_mask", "width", "counters"))
 def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
                    max_leaf: int, depth: int,
                    cull_backface: bool, any_hit: bool = False,
@@ -557,7 +589,7 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
                    shade_rows: jnp.ndarray | None = None,
                    shade_mode: int = 0, shared_origin: bool = False,
                    alpha_mask: bool = False, width: int = 8,
-                   fine_mask_rows=None):
+                   fine_mask_rows=None, counters: bool = False):
     fine = fine_mask_rows is not None
     count = o.shape[0]
     block = LANES * packet_sublanes
@@ -588,18 +620,26 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
         _traverse_kernel8, max_leaf=max_leaf,
         cull_backface=cull_backface, any_hit=any_hit,
         shade_mode=shade_mode, shared_origin=shared_origin,
-        alpha_mask=alpha_mask, width=width, fine=fine)
+        alpha_mask=alpha_mask, width=width, fine=fine,
+        counters=counters)
 
     f32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     i32tile = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
     out_shape = [f32tile, f32tile, f32tile, i32tile]
+    out_specs = [ray_spec] * 4
     n_shade_out = 0
     if shade_mode:
         out_shape += [f32tile, f32tile, f32tile, i32tile]
+        out_specs += [ray_spec] * 4
         n_shade_out += 4
     if shade_mode == 2:
         out_shape += [f32tile] * 6
+        out_specs += [ray_spec] * 6
         n_shade_out += 6
+    if counters:
+        out_shape.append(
+            jax.ShapeDtypeStruct((grid[0], LANES), jnp.int32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
     vmem = lambda dt: pltpu.VMEM((packet_sublanes, LANES), dt)
     scratch = [
@@ -612,6 +652,8 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
         scratch += [vmem(jnp.float32)] * 5     # bn xyz, bmat, bdet
     if shade_mode == 2:
         scratch += [vmem(jnp.float32)] * 6     # bt xyz, buv xy, buvd
+    if counters:
+        scratch.append(pltpu.SMEM((4,), jnp.int32))
 
     inputs = [snode_rows, tris_packed]
     in_specs = [full, full]
@@ -626,7 +668,7 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
         kernel,
         grid=grid,
         in_specs=in_specs + [ray_spec] * 8,
-        out_specs=[ray_spec] * len(out_shape),
+        out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
@@ -648,6 +690,10 @@ def _trace_packed8(snode_rows, tris_packed, o, d, t_min, t_max,
         rec["tan"] = jnp.stack([tx, ty, tz], axis=-1)
         rec["uv"] = jnp.stack([ux, uy], axis=-1)
         rec["uvd"] = uvd
+    if counters:
+        # (n_packets, 3): per-packet [supernode pops, tri-row bodies,
+        # leaf pops].
+        rec["counters"] = outs[-1][:, :3]
     return rec
 
 
@@ -658,7 +704,7 @@ def trace_nearest_packet8(bvh8, tris_packed, o, d, t_min, t_max,
                           shade_rows=None, shade_mode: int = 0,
                           shared_origin: bool = False,
                           alpha_mask: bool = False,
-                          fine_mask_rows=None):
+                          fine_mask_rows=None, counters: bool = False):
     """BVH8 packet traversal; same contract as traverse.trace_nearest.
     With shade_mode > 0 (and shade_rows from pack_shade_records) the
     record also carries fused shading attributes: "n" + "mat" (mode 1),
@@ -676,7 +722,8 @@ def trace_nearest_packet8(bvh8, tris_packed, o, d, t_min, t_max,
                           shared_origin=shared_origin,
                           alpha_mask=alpha_mask,
                           width=getattr(bvh8, "width", 8),
-                          fine_mask_rows=fine_mask_rows)
+                          fine_mask_rows=fine_mask_rows,
+                          counters=counters)
 
 
 # ---------------------------------------------------------------------------

@@ -68,7 +68,7 @@ def trace_blend(scene: FlatScene, tables: TraceTables, o, d, t_min, t_max,
     when something was rejected (lax.cond skip)."""
     tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
     rec = trace_nearest(tables, scene.tri_pos, scene.tri_double_sided, o, d,
-                        t_min, t_max, cull_backface=True)
+                        t_min, t_max, cull_backface=True, coherent=True)
 
     def retrace_pass(rec):
         rejected = _forward_rejected(scene, tables, rec, all_materials)
@@ -81,7 +81,7 @@ def trace_blend(scene: FlatScene, tables: TraceTables, o, d, t_min, t_max,
                 tables, scene.tri_pos, scene.tri_double_sided, o, d,
                 rec["t"] * (1.0 + 1e-4) + 1e-4,
                 jnp.where(rejected, tmax, RAY_DEAD_T),
-                cull_backface=True)
+                cull_backface=True, coherent=True)
             return {k: jnp.where(rejected, rec2[k], rec[k]) for k in rec}
 
         return jax.lax.cond(jnp.any(rejected), do_retrace, lambda r: r, rec)

@@ -73,7 +73,7 @@ def trace_opaque(scene: FlatScene, tables: TraceTables, o, d, t_min, t_max,
     rejected — opaque scenes pay one reduction, not max_retrace traces."""
     rec = trace_nearest(tables, scene.tri_pos, scene.tri_double_sided, o, d,
                         t_min, t_max, cull_backface=True,
-                        shared_origin=True)
+                        shared_origin=True, coherent=True)
     if not (scene.any_alpha_blend or scene.any_alpha_test):
         return rec
     return _alpha_retrace(scene, tables, o, d, rec, t_max, max_retrace)
@@ -113,7 +113,7 @@ def _alpha_retrace(scene: FlatScene, tables: TraceTables, o, d, rec,
             rec2 = trace_nearest(
                 tables, scene.tri_pos, scene.tri_double_sided, o, d,
                 rec["t"] + 1e-4, jnp.where(rejected, tmax, RAY_DEAD_T),
-                cull_backface=True, shared_origin=True)
+                cull_backface=True, shared_origin=True, coherent=True)
             return {k: jnp.where(rejected, rec2[k], rec[k]) for k in rec}
 
         return jax.lax.cond(jnp.any(rejected), do_retrace, lambda r: r, rec)

@@ -93,7 +93,7 @@ def compute_direct_lighting(scene: FlatScene, tables: TraceTables,
             t_far = jnp.where(contributes, distance, RAY_DEAD_T)
             occluded = trace_visibility(
                 scene, tables, origin, l, RAY_MIN_T, t_far,
-                max_alpha_retrace).astype(jnp.float32)
+                max_alpha_retrace, coherent=True).astype(jnp.float32)
         else:
             occluded = jnp.zeros_like(nol)  # RAY_TRACING_ENABLED=0 path
 

@@ -268,7 +268,7 @@ def repack_rays(key, columns):
 def trace_material_ray(scene: FlatScene, tables: TraceTables, o, d,
                        t_min, t_max,
                        cull_backface: bool, max_alpha_retrace: int,
-                       shared_origin: bool = False):
+                       shared_origin: bool = False, coherent: bool = False):
     """Nearest hit honoring any-hit alpha testing: re-trace past rejected
     hits up to `max_alpha_retrace` times (the reference's unbounded any-hit
     loop is bounded here for static control flow).
@@ -290,7 +290,8 @@ def trace_material_ray(scene: FlatScene, tables: TraceTables, o, d,
             return trace_nearest(tables, scene.tri_pos,
                                  scene.tri_double_sided, o, d, tmn, tmx,
                                  cull_backface=cull_backface,
-                                 shared_origin=shared_origin)
+                                 shared_origin=shared_origin,
+                                 coherent=coherent)
 
     k_hits = _multihit_k()
     if (scene.any_alpha_test and k_hits > 0
@@ -503,7 +504,8 @@ def _trace_material_multihit(scene: FlatScene, tables: TraceTables, o, d,
 
 
 def trace_visibility(scene: FlatScene, tables: TraceTables, o, d,
-                     t_min, t_max, max_alpha_retrace: int):
+                     t_min, t_max, max_alpha_retrace: int,
+                     coherent: bool = False):
     """TraceVisibilityRay (RayGen.rgen:127-178): occlusion with alpha-test
     transparency, no backface culling.  Returns (N,) bool occluded."""
     from steeljax.accel.instances import (InstancedTables,
@@ -515,10 +517,11 @@ def trace_visibility(scene: FlatScene, tables: TraceTables, o, d,
                 tables, o, d, t_min, t_max, cull_backface=False,
                 any_hit=True)["hit"]
         return trace_any(tables, scene.tri_pos, scene.tri_double_sided, o, d,
-                         t_min, t_max)
+                         t_min, t_max, coherent=coherent)
     rec = trace_material_ray(scene, tables, o, d, t_min, t_max,
                              cull_backface=False,
-                             max_alpha_retrace=max_alpha_retrace)
+                             max_alpha_retrace=max_alpha_retrace,
+                             coherent=coherent)
     return rec["hit"]
 
 
@@ -821,6 +824,17 @@ def trace_paths(scene: FlatScene, tables: TraceTables, o, d, seed,
         # it: the sort costs ~4 ms/bounce at 1M rays, more than their
         # entire union sweep (Cornell measured 95 vs 76 ms/frame).
         use_repack = _total_triangles(tables) > REPACK_MIN_TRIS
+        # A/B knob (measurement, see CLAUDE.md): STEELJAX_REPACK=force
+        # repacks small scenes with the full Morton key; =live repacks
+        # with a liveness-only key — the stable sort then preserves tile
+        # order inside the live block and only sinks dead lanes, probing
+        # whether round 2's small-scene negative was the reorder, not
+        # the sort.
+        import os
+        _repack_env = os.environ.get("STEELJAX_REPACK", "")
+        live_key_only = _repack_env == "live"
+        if _repack_env in ("force", "live"):
+            use_repack = True
         sort_bounds = scene_bounds(tables) if use_repack else None
         repacked = False
         slot = jnp.arange(count, dtype=jnp.int32)
@@ -828,8 +842,9 @@ def trace_paths(scene: FlatScene, tables: TraceTables, o, d, seed,
             if bounce > 0 and use_repack:
                 lo, inv_extent = sort_bounds
                 key = (((~alive).astype(jnp.int32) << 19)
-                       | (miss.astype(jnp.int32) << 18)
-                       | _ray_sort_key(o, d, lo, inv_extent))
+                       | (miss.astype(jnp.int32) << 18))
+                if not live_key_only:
+                    key = key | _ray_sort_key(o, d, lo, inv_extent)
                 key, (o, d, throughput, ray_pdf, irradiance, seed,
                       slot) = repack_rays(
                     key, [o, d, throughput, ray_pdf, irradiance, seed,
@@ -848,7 +863,11 @@ def trace_paths(scene: FlatScene, tables: TraceTables, o, d, seed,
                 # q/t terms).  NOT true for batched probe captures
                 # (capture_probes packs many probe origins in one call),
                 # so the caller must opt in.
-                shared_origin=(bounce == 0 and primary_shared_origin))
+                shared_origin=(bounce == 0 and primary_shared_origin),
+                # Tile-ordered primaries are screen-coherent: smaller
+                # packets sweep ~half the leaf rows per ray on mid/large
+                # scenes (dispatch.SUBLANES_COHERENT).
+                coherent=(bounce == 0))
 
             weight = throughput / jnp.maximum(ray_pdf, 1e-30)[..., None]
 
