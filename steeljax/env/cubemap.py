@@ -198,3 +198,116 @@ def sample_flat_mips(data, offsets, sizes, direction, lod):
     a = _sample_flat_level(data, offsets, sizes, lo, face, x, y)
     c = _sample_flat_level(data, offsets, sizes, hi, face, x, y)
     return a * (1 - frac) + c * frac
+
+
+# ---------------------------------------------------------------------------
+# One-gather trilinear: mip-PAIR packed rows.
+#
+# sample_flat_mips costs TWO row gathers per lookup (one per bracketing
+# mip), and on TPU gather cost is per *index*, not per row width (see the
+# data-movement rules) — so packing the coarse mip's candidate texels into
+# the fine row halves the gather count exactly.  Row layout (48 f32):
+#   [0:12]  fine 2x2 bilinear quad (pack_cube_quads order)
+#   [12:39] coarse 3x3 block at base = ((fine_texel - 1) >> 1) per axis,
+#           edge-clamped — 3x3 because the coarse quad start is one of
+#           two texels depending on the sub-texel fraction
+#   [39:48] pad
+# The coarse 2x2 quad inside the 3x3 block starts at rel in {0, 1} per
+# axis (rel = coarse_texel - base), selected at runtime with two selects
+# per axis — the math below reproduces sample_flat_mips bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def pack_mips_tri(mips):
+    """Pack a cube mip chain into mip-pair rows for one-gather trilinear.
+    Returns (data (N, 48), offsets (M,), resolutions (M,)) keyed exactly
+    like pack_mips (level = FINE level of the pair; the last level pairs
+    with itself and its coarse half carries zero trilinear weight)."""
+    offsets, sizes, chunks = [], [], []
+    total = 0
+    count = len(mips)
+    for m in range(count):
+        fine = np.asarray(mips[m], np.float32)
+        coarse = np.asarray(mips[min(m + 1, count - 1)], np.float32)
+        rf = fine.shape[1]
+        rc = coarse.shape[1]
+        rows = np.zeros((6, rf, rf, 48), np.float32)
+        rows[..., 0:12] = pack_cube_quads(fine).reshape(6, rf, rf, 16)[
+            ..., 0:12]
+        base = ((np.arange(rf) - 1) >> 1)
+        for j in range(3):          # coarse v offset
+            iv = np.clip(base + j, 0, rc - 1)
+            for i in range(3):      # coarse u offset
+                iu = np.clip(base + i, 0, rc - 1)
+                sl = 12 + (j * 3 + i) * 3
+                rows[..., sl:sl + 3] = coarse[:, iv[:, None], iu[None, :]]
+        offsets.append(total)
+        sizes.append(rf)
+        chunks.append(rows.reshape(6 * rf * rf, 48))
+        total += 6 * rf * rf
+    return (jnp.asarray(np.concatenate(chunks, axis=0)),
+            jnp.asarray(np.array(offsets, np.int32)),
+            jnp.asarray(np.array(sizes, np.int32)))
+
+
+def sample_flat_mips_tri(data, offsets, sizes, direction, lod):
+    """Trilinear samplerCube lookup over a pack_mips_tri pool — ONE row
+    gather per lookup; matches sample_flat_mips exactly."""
+    face, x, y = _cube_face_uv(direction)
+
+    count = sizes.shape[0]
+    lod = jnp.clip(lod, 0.0, count - 1)
+    lo = jnp.floor(lod).astype(jnp.int32)
+    frac = (lod - lo.astype(jnp.float32))[..., None]
+
+    res = _select_elems(sizes, lo)
+    off = _select_elems(offsets, lo)
+    resf = res.astype(jnp.float32)
+    u = (x + 1.0) * 0.5 * resf - 0.5
+    v = (y + 1.0) * 0.5 * resf - 0.5
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = jnp.where(u0 < 0, 0.0, u - u0)[..., None]
+    fv = jnp.where(v0 < 0, 0.0, v - v0)[..., None]
+    u0i = jnp.clip(u0.astype(jnp.int32), 0, res - 1)
+    v0i = jnp.clip(v0.astype(jnp.int32), 0, res - 1)
+    row = data[off + (face * res + v0i) * res + u0i]     # (..., 48)
+
+    top = row[..., 0:3] * (1 - fu) + row[..., 3:6] * fu
+    bot = row[..., 6:9] * (1 - fu) + row[..., 9:12] * fu
+    fine = top * (1 - fv) + bot * fv
+
+    hi = jnp.minimum(lo + 1, count - 1)
+    res_c = _select_elems(sizes, hi)
+    rcf = res_c.astype(jnp.float32)
+    uc = (x + 1.0) * 0.5 * rcf - 0.5
+    vc = (y + 1.0) * 0.5 * rcf - 0.5
+    uc0 = jnp.floor(uc)
+    vc0 = jnp.floor(vc)
+    fuc = jnp.where(uc0 < 0, 0.0, uc - uc0)[..., None]
+    fvc = jnp.where(vc0 < 0, 0.0, vc - vc0)[..., None]
+    uc0i = jnp.clip(uc0.astype(jnp.int32), 0, res_c - 1)
+    vc0i = jnp.clip(vc0.astype(jnp.int32), 0, res_c - 1)
+    # Position of the coarse quad inside the packed 3x3 block; {0, 1} by
+    # construction when res_c == res/2, clipped for the weight-0
+    # last-level self-pair where the relation does not hold.
+    rel_u = jnp.clip(uc0i - ((u0i - 1) >> 1), 0, 1)
+    rel_v = jnp.clip(vc0i - ((v0i - 1) >> 1), 0, 1)
+
+    def bt(i, j):
+        sl = 12 + (j * 3 + i) * 3
+        return row[..., sl:sl + 3]
+
+    pu = (rel_u == 1)[..., None]
+    pv = (rel_v == 1)[..., None]
+
+    def at(i):
+        return (jnp.where(pv, jnp.where(pu, bt(i + 1, 1), bt(i, 1)),
+                          jnp.where(pu, bt(i + 1, 0), bt(i, 0))),
+                jnp.where(pv, jnp.where(pu, bt(i + 1, 2), bt(i, 2)),
+                          jnp.where(pu, bt(i + 1, 1), bt(i, 1))))
+
+    (c00, c01), (c10, c11) = at(0), at(1)
+    topc = c00 * (1 - fuc) + c10 * fuc
+    botc = c01 * (1 - fuc) + c11 * fuc
+    coarse = topc * (1 - fvc) + botc * fvc
+    return fine * (1 - frac) + coarse * frac

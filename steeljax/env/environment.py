@@ -41,6 +41,25 @@ class Environment:
     # instead of gathering cube_quads.  The IBL convolutions above still
     # come from the baked cube.
     analytic: bool = struct.field(pytree_node=False, default=False)
+    # Gather-free fast paths (lighting uses them when present; None falls
+    # back to the exact gather forms above):
+    # - irradiance_sh: least-squares SH fit of the irradiance cube
+    #   (env.ibl.fit_cube_sh) — one inline basis eval + tiny matmul
+    #   replaces the quad-row gather.  None when the bake's content
+    #   exceeds the fit's residual gate.
+    # - reflection_tri_data: mip-pair packed rows (cubemap.pack_mips_tri,
+    #   keyed by reflection_offsets/sizes) — trilinear in ONE row gather
+    #   instead of two.  None above TRI_PACK_MAX_ROWS (the pack is 3x the
+    #   quad bytes; big chains keep the two-gather path rather than pay
+    #   the host->device upload).
+    irradiance_sh: jnp.ndarray | None = None
+    reflection_tri_data: jnp.ndarray | None = None
+
+
+# 48-f32 tri-pack rows cost 3x the quad pack; cap the eager device upload
+# (the axon tunnel moves ~1 MB/s) at ~10 MB = 50k rows (reflection
+# resolution <= 64, which covers every bench/test budget).
+TRI_PACK_MAX_ROWS = 50_000
 
 
 def load_environment(panorama_path: str | None = None,
@@ -67,12 +86,17 @@ def load_environment(panorama_path: str | None = None,
             cube = procedural_sky_cube(cube_resolution)
             analytic = True
     cube = jnp.asarray(cube, jnp.float32)
-    from steeljax.env.cubemap import pack_cube_quads, pack_mips
+    from steeljax.env.cubemap import (pack_cube_quads, pack_mips,
+                                      pack_mips_tri)
     reflection_mips = ibl.generate_reflection_mips(
         cube, reflection_resolution, reflection_samples)
     data, offsets, sizes = pack_mips(reflection_mips)
+    tri_rows = sum(6 * m.shape[1] * m.shape[1] for m in reflection_mips)
+    tri_data = (pack_mips_tri(reflection_mips)[0]
+                if tri_rows <= TRI_PACK_MAX_ROWS else None)
     irradiance = ibl.generate_irradiance_cube(
         cube, irradiance_resolution, irradiance_delta)
+    irradiance_sh, _ = ibl.fit_cube_sh(irradiance)
     lut = ibl.specular_brdf_lut(lut_resolution, lut_samples)
     return Environment(
         cube=cube,
@@ -87,4 +111,6 @@ def load_environment(panorama_path: str | None = None,
             pack_cube_quads(np.asarray(irradiance))),
         specular_lut_quads=ibl.pack_lut_quads(lut),
         analytic=analytic,
+        irradiance_sh=irradiance_sh,
+        reflection_tri_data=tri_data,
     )

@@ -297,3 +297,138 @@ def generate_reflection_mips(env: jnp.ndarray, resolution: int = 256,
         result = acc_r / jnp.maximum(acc_w, 1e-8)
         out.append(result.reshape(6, res, res, 3))
     return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# Gather-free irradiance: least-squares SH fit of the baked cube.
+#
+# The irradiance lookup is one quad-row gather per pixel (~12 ns/index on
+# TPU regardless of table size — see the data-movement rules).  The baked
+# cube is a smooth near-cosine-convolved signal, so a spherical-harmonic
+# expansion evaluated inline (elementwise basis + one tiny matmul)
+# reproduces it to a fraction of a percent and removes the gather
+# entirely.  An *analytic projection* at fixed order 3 (SH-9) was tried in
+# round 2 and failed the PT/hybrid parity gate (RMSE 0.066 vs 0.026):
+# projection minimizes error against the continuous signal band-by-band,
+# not against the baked texels, and order 3 truncates hard.  This is a
+# WEIGHTED least-squares fit to the actual texel values (solid-angle
+# weights) with the order chosen adaptively by measured residual; the
+# bake falls back to the exact quad-gather path when no order within the
+# budget meets tolerance (fit quality is content-dependent).
+# ---------------------------------------------------------------------------
+
+
+def sh_basis(dirs, order: int):
+    """Real spherical-harmonics basis values for UNIT directions.
+
+    dirs: (..., 3); returns (..., order**2), bands l = 0..order-1 with
+    m = -l..l inside each band.  Trig-free: sin/cos(m*phi)*sin(theta)^m
+    come from the complex-power recurrence on (x + iy), and the
+    associated Legendre part uses the s^m-factored recurrence (Sloan,
+    "Stupid SH Tricks" appendix form).  Fit and eval share this function,
+    so the exact sign convention cancels in the round trip.
+    """
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    one = jnp.ones_like(z)
+
+    # a[m] = Re((x+iy)^m) = s^m cos(m phi); b[m] = Im = s^m sin(m phi).
+    a = [one]
+    b = [jnp.zeros_like(z)]
+    for m in range(1, order):
+        am, bm = a[m - 1], b[m - 1]
+        a.append(x * am - y * bm)
+        b.append(x * bm + y * am)
+
+    # q[l][m] = P_l^m(z) / s^m (the s^m factor lives in a/b above).
+    q = [[one]]
+    for l in range(1, order):
+        row = [None] * (l + 1)
+        row[l] = q[l - 1][l - 1] * jnp.float32(1 - 2 * l)    # Q_ll
+        row[l - 1] = z * q[l - 1][l - 1] * jnp.float32(2 * l - 1)
+        for m in range(l - 2, -1, -1):
+            row[m] = ((jnp.float32(2 * l - 1) * z * q[l - 1][m]
+                       - jnp.float32(l + m - 1) * q[l - 2][m])
+                      / jnp.float32(l - m))
+        q.append(row)
+
+    import math
+    out = []
+    for l in range(order):
+        for m in range(-l, l + 1):
+            am = abs(m)
+            norm = math.sqrt((2 * l + 1) / (4.0 * math.pi)
+                             * math.factorial(l - am)
+                             / math.factorial(l + am))
+            if m != 0:
+                norm *= math.sqrt(2.0)
+            base = q[l][am]
+            if m < 0:
+                val = base * b[am]
+            elif m > 0:
+                val = base * a[am]
+            else:
+                val = base
+            out.append(val * jnp.float32(norm))
+    return jnp.stack(out, axis=-1)
+
+
+def fit_cube_sh(cube, max_order: int = 8, rel_tol: float = 0.005,
+                noise_cap: float = 0.04):
+    """Weighted least-squares SH fit of a (6, R, R, 3) cube.
+
+    Accepts the SMALLEST order whose RMS texel residual (relative to the
+    cube's mean magnitude) is under max(rel_tol, noise_floor), where
+    noise_floor is the bake's own texel noise estimated from in-face
+    second differences (a coarse-SAMPLE_DELTA Riemann bake carries
+    texel-scale jitter no smooth basis can or should reproduce), capped
+    at `noise_cap` so arbitrary high-frequency content falls back to the
+    exact gather path instead of shipping a bad fit.  Returns
+    (coeffs (order**2, 3) float32, rms_rel_err), or (None, best_err).
+    Host-side (numpy lstsq); runs once per bake.
+    """
+    cube = np.asarray(cube, np.float32)
+    res = cube.shape[1]
+    dirs = face_directions(res).reshape(-1, 3)
+    vals = cube.reshape(-1, 3).astype(np.float64)
+    # Cube texel solid angle ~ (1 + x^2 + y^2)^{-3/2}; relative weights
+    # are all LS needs.
+    texel = (np.arange(res, dtype=np.float64) + 0.5) / res * 2.0 - 1.0
+    gx, gy = np.meshgrid(texel, texel, indexing="xy")
+    w_face = (1.0 + gx * gx + gy * gy) ** -1.5
+    w = np.tile(w_face.reshape(-1), 6)
+    scale = float(np.abs(vals).mean() + 1e-12)
+
+    # Texel-noise floor: mean |second difference| along both in-face
+    # axes.  Smooth signals (even steep ones) have small second
+    # differences; bake jitter has large ones.
+    c64 = cube.astype(np.float64)
+    lap = 0.5 * (np.abs(np.diff(c64, n=2, axis=1)).mean()
+                 + np.abs(np.diff(c64, n=2, axis=2)).mean())
+    floor = max(rel_tol, min(lap / scale, noise_cap))
+
+    best = None
+    for order in range(2, max_order + 1):
+        basis = np.asarray(sh_basis(jnp.asarray(dirs), order),
+                           np.float64)                    # (T, K)
+        bw = basis * w[:, None]
+        coeffs, *_ = np.linalg.lstsq(bw.T @ basis, bw.T @ vals, rcond=None)
+        fit = np.maximum(basis @ coeffs, 0.0)
+        err = float(np.sqrt(((fit - vals) ** 2).mean()) / scale)
+        best = err if best is None else min(best, err)
+        if err <= floor:
+            return jnp.asarray(coeffs, jnp.float32), err
+    return None, best
+
+
+def eval_cube_sh(coeffs, direction):
+    """Inline SH cube lookup: normalize, basis, one (..., K) @ (K, 3)
+    matmul, clamp at zero (radiance is non-negative; fit ringing may dip
+    below).  Gather-free replacement for sample_cube_quads on fitted
+    environments."""
+    order = int(round(float(coeffs.shape[0]) ** 0.5))
+    d = direction / jnp.maximum(
+        jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-20)
+    basis = sh_basis(d, order)
+    return jnp.maximum(
+        jnp.einsum("...k,kc->...c", basis, coeffs,
+                   preferred_element_type=jnp.float32), 0.0)

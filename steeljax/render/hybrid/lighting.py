@@ -126,20 +126,28 @@ def compute_indirect_lighting(env: Environment, position, n, v, nov,
                               occlusion, light_volume=None,
                               compose: str = "both"):
     """ComputeIndirectLighting (Lighting.glsl:245-272)."""
+    # Irradiance lookup: the least-squares SH fit (inline basis + tiny
+    # matmul, no gather) when the bake accepted one, else the exact
+    # quad-row gather.  A fixed ANALYTIC-projection SH-9 was tried in
+    # round 2 and failed the PT/hybrid parity gate (RMSE 0.066 vs 0.026):
+    # the residual-gated least-squares fit is the version that holds
+    # (env.ibl.fit_cube_sh).
+    def env_irr(direction):
+        if env.irradiance_sh is not None:
+            from steeljax.env.ibl import eval_cube_sh
+            return eval_cube_sh(env.irradiance_sh, direction)
+        return sample_cube_quads(env.irradiance_quads, direction)
+
     if light_volume is not None:
         from steeljax.gi.sample import sample_light_volume
         irradiance = sample_light_volume(light_volume, position, n)
-        # NOTE: an SH-9 Ramamoorthi polynomial was tried here to kill the
-        # cubemap gather (~12 ns/index); it failed the PT/hybrid parity
-        # gate (RMSE 0.066 vs cubemap's 0.026, threshold 0.05) — SH-9
-        # truncation is too lossy on mid-frequency environments.
-        env_irradiance = sample_cube_quads(env.irradiance_quads, n)
+        env_irradiance = env_irr(n)
         # The reference divides raw (Lighting.glsl:252); bound the ratio so
         # near-zero env irradiance cannot blow up the specular term.
         specular_norm = jnp.clip(
             irradiance / jnp.maximum(env_irradiance, 1e-4), 0.0, 8.0)
     else:
-        irradiance = sample_cube_quads(env.irradiance_quads, n)
+        irradiance = env_irr(n)
         specular_norm = jnp.ones_like(irradiance)
 
     ks = brdf_lib.f_schlick_roughness(f0, nov, roughness)
@@ -148,9 +156,17 @@ def compute_indirect_lighting(env: Environment, position, n, v, nov,
     r = 2.0 * jnp.sum(v * n, axis=-1, keepdims=True) * n - v
     mips = len(env.reflection_mips)
     lod = roughness * (mips - 1)
-    reflection = sample_flat_mips(env.reflection_data,
-                                  env.reflection_offsets,
-                                  env.reflection_sizes, r, lod)
+    if env.reflection_tri_data is not None:
+        # Mip-pair rows: trilinear in ONE gather (bit-exact with the
+        # two-gather form below; cubemap.pack_mips_tri).
+        from steeljax.env.cubemap import sample_flat_mips_tri
+        reflection = sample_flat_mips_tri(env.reflection_tri_data,
+                                          env.reflection_offsets,
+                                          env.reflection_sizes, r, lod)
+    else:
+        reflection = sample_flat_mips(env.reflection_data,
+                                      env.reflection_offsets,
+                                      env.reflection_sizes, r, lod)
 
     scale_offset = env_brdf_scale_offset(env, nov, roughness)
 

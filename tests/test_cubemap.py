@@ -72,3 +72,35 @@ def test_analytic_sky_matches_baked_cube():
     got = np.asarray(sky_radiance(jnp.asarray(dirs)))
     np.testing.assert_allclose(got, cube.reshape(-1, 3), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_tri_pack_matches_two_gather_trilinear():
+    """pack_mips_tri / sample_flat_mips_tri (one row gather) must be
+    BIT-exact with pack_mips / sample_flat_mips (two gathers) for random
+    content, random directions, and every lod regime incl. the clamped
+    ends and the last level's weight-0 self-pair."""
+    from steeljax.env.cubemap import (pack_mips, pack_mips_tri,
+                                      sample_flat_mips,
+                                      sample_flat_mips_tri)
+    from steeljax.env.ibl import build_cube_mips
+
+    rng = np.random.default_rng(7)
+    cube = jnp.asarray(rng.random((6, 16, 16, 3)), jnp.float32)
+    mips = build_cube_mips(cube)
+    data, offs, sizes = pack_mips(mips)
+    tri, t_offs, t_sizes = pack_mips_tri(mips)
+    np.testing.assert_array_equal(np.asarray(offs), np.asarray(t_offs))
+    np.testing.assert_array_equal(np.asarray(sizes), np.asarray(t_sizes))
+
+    dirs = rng.normal(size=(4096, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    for lod in (rng.random(4096).astype(np.float32) * 5.5,
+                np.zeros(4096, np.float32),
+                np.full(4096, 4.0, np.float32),
+                np.full(4096, 3.999, np.float32),
+                np.full(4096, 9.0, np.float32)):
+        a = sample_flat_mips(data, offs, sizes, jnp.asarray(dirs),
+                             jnp.asarray(lod))
+        c = sample_flat_mips_tri(tri, offs, sizes, jnp.asarray(dirs),
+                                 jnp.asarray(lod))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))

@@ -67,3 +67,40 @@ def test_sample_cube_lod_blends():
     assert abs(v0 - 1.0) < 1e-5
     assert abs(v1 - 3.0) < 1e-5
     assert abs(vh - 2.0) < 1e-5
+
+
+def test_sh_basis_orthonormal():
+    """Real-SH basis (env.ibl.sh_basis): Monte-Carlo Gram matrix over the
+    sphere is the identity to sampling noise — validates the Legendre /
+    (A_m, B_m) recurrences and normalizations in one shot."""
+    rng = np.random.default_rng(3)
+    d = rng.normal(size=(120_000, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    basis = np.asarray(ibl.sh_basis(jnp.asarray(d, jnp.float32), 5))
+    gram = basis.T @ basis * (4.0 * np.pi / len(d))
+    np.testing.assert_allclose(gram, np.eye(25), atol=0.02)
+
+
+def test_fit_cube_sh_roundtrip_and_fallback():
+    """A cube sampled FROM a smooth SH function must fit near-exactly and
+    evaluate back to the cube via eval_cube_sh; an iid-noise cube must be
+    REJECTED (None) so lighting falls back to the exact gather."""
+    from steeljax.env.cubemap import face_directions
+
+    res = 16
+    dirs = face_directions(res).reshape(-1, 3)
+    basis = np.asarray(ibl.sh_basis(jnp.asarray(dirs), 3))
+    rng = np.random.default_rng(11)
+    true_c = rng.normal(size=(9, 3)) * 0.3 \
+        + np.array([[10.0, 10.0, 10.0]]) * (np.arange(9) == 0)[:, None]
+    vals = basis @ true_c
+    assert vals.min() > 0.0  # strictly positive: exactly SH-representable
+    cube = vals.reshape(6, res, res, 3).astype(np.float32)
+    coeffs, err = ibl.fit_cube_sh(cube)
+    assert coeffs is not None and err < 1e-3
+    got = np.asarray(ibl.eval_cube_sh(coeffs, jnp.asarray(dirs)))
+    np.testing.assert_allclose(got, vals, atol=2e-2 * vals.mean())
+
+    noise = rng.random((6, res, res, 3)).astype(np.float32)
+    rejected, _ = ibl.fit_cube_sh(noise)
+    assert rejected is None
