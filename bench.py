@@ -38,7 +38,14 @@ detail that previously inflated cross-round labels (ADVICE r3).
 from __future__ import annotations
 
 import json
+import os
 import time
+
+# Persistent XLA compilation cache: each config runs in its own process
+# (see main()), and without this every subprocess re-pays the full
+# compile (~234 s for the big configs; ~13 s cached).  setdefault so an
+# explicit override wins; subprocesses inherit it via the environment.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 
 def _emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
