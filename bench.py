@@ -60,7 +60,11 @@ def _emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
 
 
 def _real_tris(flat) -> int:
-    """Count non-pad triangles (pad slots park at _PAD_VALUE)."""
+    """True source triangle count.  flat.tri_pos is a REFERENCE layout
+    (SBVH spatial splits duplicate straddling triangles), so counting
+    non-pad slots would overcount; flatten_scene records the real count."""
+    if getattr(flat, "source_tri_count", -1) >= 0:
+        return int(flat.source_tri_count)
     import numpy as np
     return int((np.asarray(flat.tri_pos)[:, 0, 0] < 3.0e36).sum())
 

@@ -117,13 +117,44 @@ def _build_morton(tri_pos: np.ndarray, leaf_size: int
     return nodes, order, depth
 
 
+def _spatial_alpha(method: str) -> float:
+    """Spatial-split overlap threshold for a build method.
+
+    "sbvh" forces spatial splits on, "sah" forces pure object SAH;
+    "auto" follows STEELJAX_SBVH ("1" enables at alpha 1e-5, any float
+    overrides the alpha; default OFF — host-proxy row costs say the
+    all-axis object SAH captures nearly all of the tree-quality win on
+    the bench scenes, with spatial splits WORSE on stress-class
+    geometry (+14% area-weighted rows from duplication) and only -6%
+    on foliage; kept opt-in for San Miguel-class mixed geometry)."""
+    if method == "sah":
+        return 0.0
+    if method == "sbvh":
+        return 1e-5
+    import os
+    env = os.environ.get("STEELJAX_SBVH", "0")
+    if env == "0":
+        return 0.0
+    if env == "1":
+        return 1e-5
+    try:
+        return float(env)
+    except ValueError:
+        return 1e-5
+
+
 def build_bvh(tri_pos: np.ndarray, leaf_size: int = 64,
               method: str = "auto") -> tuple[BVH, np.ndarray, int]:
     """Build a BVH over (T, 3, 3) world-space triangles.
 
-    Returns (bvh, permutation, padded_count): reorder all per-triangle
-    arrays by `permutation` and pad to `padded_count` (apply_permutation).
-    method: "auto" (native SAH, Morton fallback) | "sah" | "morton".
+    Returns (bvh, order, padded_count): reorder all per-triangle arrays
+    by `order` and pad to `padded_count` (apply_permutation).  With
+    spatial splits (default) `order` is a REFERENCE list — a triangle id
+    may appear under several leaves (clipped-box duplicates, bounded at
+    1.5x) — which gather-based consumers handle identically to a
+    permutation.
+    method: "auto" (native SBVH, Morton fallback) | "sbvh" | "sah"
+    (object-only) | "morton".
     """
     tri_pos = np.asarray(tri_pos, np.float32)
     count = len(tri_pos)
@@ -135,15 +166,16 @@ def build_bvh(tri_pos: np.ndarray, leaf_size: int = 64,
                 np.zeros(0, np.int64),
                 -(-leaf_size // TRI_PER_ROW) * TRI_PER_ROW)
 
-    if method in ("auto", "sah"):
+    if method in ("auto", "sah", "sbvh"):
         from steeljax.native import build_bvh_sah
-        result = build_bvh_sah(tri_pos, leaf_size)
+        result = build_bvh_sah(tri_pos, leaf_size,
+                               spatial_alpha=_spatial_alpha(method))
         if result is not None:
             nodes, perm, depth = result
             nodes, perm, padded = _align_leaves(nodes, perm, leaf_size)
             return (BVH(nodes=jnp.asarray(nodes), depth=depth,
                         max_leaf=leaf_size), perm, padded)
-        if method == "sah":
+        if method in ("sah", "sbvh"):
             raise RuntimeError("native SAH builder unavailable")
 
     nodes, perm, depth = _build_morton(tri_pos, leaf_size)

@@ -57,10 +57,12 @@ def get_library():
             _lib_failed = True
             return None
         lib = ctypes.CDLL(str(_SO_PATH))
-    lib.steeljax_build_bvh.restype = ctypes.c_int
-    lib.steeljax_build_bvh.argtypes = [
+    lib.steeljax_build_sbvh.restype = ctypes.c_int
+    lib.steeljax_build_sbvh.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_float,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int),
     ]
@@ -68,10 +70,17 @@ def get_library():
     return _lib
 
 
-def build_bvh_sah(tri_pos: np.ndarray, max_leaf: int
+def build_bvh_sah(tri_pos: np.ndarray, max_leaf: int,
+                  spatial_alpha: float = 0.0, dup_ratio: float = 1.5
                   ) -> tuple[np.ndarray, np.ndarray, int] | None:
-    """Binned-SAH build.  Returns (nodes (N, 8) f32, permutation (T,)
-    int64, depth) or None if the native library is unavailable."""
+    """Binned-SAH / SBVH build.  Returns (nodes (N, 8) f32, refs (R,)
+    int64, depth) or None if the native library is unavailable.
+
+    `spatial_alpha` > 0 enables Stich-style spatial splits (the Vulkan
+    driver's ePreferFastTrace analog, AccelerationStructureManager.cpp:
+    8-17): refs is then a REFERENCE list (a triangle id may appear in
+    several leaves, R <= dup_ratio * T), not a permutation; consumers
+    gather attributes by slot, which handles duplicates for free."""
     lib = get_library()
     if lib is None:
         return None
@@ -80,18 +89,25 @@ def build_bvh_sah(tri_pos: np.ndarray, max_leaf: int
     count = len(tris)
     if count == 0:
         return None
-    capacity = 2 * count + 2
+    ref_capacity = (count if spatial_alpha <= 0
+                    else int(count * dup_ratio) + 16)
+    capacity = 2 * ref_capacity + 2
     nodes = np.zeros((capacity, 8), np.float32)
-    perm = np.zeros(count, np.int64)
+    refs = np.zeros(ref_capacity, np.int64)
     node_count = ctypes.c_int64(0)
+    ref_count = ctypes.c_int64(0)
     depth = ctypes.c_int(0)
-    status = lib.steeljax_build_bvh(
+    status = lib.steeljax_build_sbvh(
         tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_int64(count), ctypes.c_int(max_leaf),
+        ctypes.c_float(spatial_alpha),
         nodes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_int64(capacity),
-        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        ctypes.byref(node_count), ctypes.byref(depth))
+        refs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(ref_capacity),
+        ctypes.byref(node_count), ctypes.byref(ref_count),
+        ctypes.byref(depth))
     if status != 0:
         return None
-    return nodes[:node_count.value].copy(), perm, int(depth.value)
+    return (nodes[:node_count.value].copy(),
+            refs[:ref_count.value].copy(), int(depth.value))

@@ -94,6 +94,10 @@ class FlatScene:
     any_alpha_test: bool = struct.field(pytree_node=False, default=False)
     any_alpha_blend: bool = struct.field(pytree_node=False, default=False)
     has_textures: bool = struct.field(pytree_node=False, default=False)
+    # True (pre-duplication) triangle count: after prepare_scene the
+    # per-triangle arrays are a REFERENCE layout (SBVH spatial splits
+    # duplicate straddling triangles), so len(tri_pos) overcounts.
+    source_tri_count: int = struct.field(pytree_node=False, default=-1)
 
     @property
     def triangle_count(self) -> int:
@@ -390,4 +394,5 @@ def flatten_scene(scene: Scene, env_cube: np.ndarray | None = None,
         any_alpha_test=bool(any_alpha_test),
         any_alpha_blend=bool(any_alpha_blend),
         has_textures=bool(scene.textures),
+        source_tri_count=int(len(tri_pos)),
     )
