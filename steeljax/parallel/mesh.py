@@ -9,7 +9,9 @@ RayGen.rgen:308-319), so the PT pipeline needs zero collectives; a final
 all-gather materializes the image only when the host asks for it.
 
 Multi-host meshes over DCN compose the same way (pixel axis first); probe
-bakes (gi/) fan out over the same mesh with probes as the batch axis.
+bakes fan out over the same mesh with probe-face pixels as the batch axis
+(gi.light_volume.capture_probes(mesh=...), equality-tested in
+tests/test_multidevice.py and exercised by dryrun_multichip).
 """
 
 from __future__ import annotations

@@ -146,3 +146,22 @@ def test_hybrid_sharded_matches_single_device(setup):
         flat, bvh, renderer.env, frame.inverse_view, frame.inverse_proj,
         frame.view_proj, frame.camera_near, frame.camera_far, W, H, mesh)
     np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_probe_bake_sharded_matches_single_device(setup):
+    """Sharded probe capture (GI bake fan-out over the mesh,
+    GlobalIllumination.cpp:210-234 analog) equals the single-device
+    bake: per-ray seeds key off the global ray id, and probe rays are
+    embarrassingly parallel."""
+    from steeljax.gi.light_volume import capture_probes
+
+    flat, bvh, frame = setup
+    positions = np.array([[0.0, 1.0, 0.0], [0.5, 1.5, 0.5],
+                          [-0.5, 0.8, -0.3]], np.float32)
+    single = np.asarray(capture_probes(flat, bvh, positions,
+                                       resolution=4, spp=2))
+    mesh = make_mesh()
+    sharded = np.asarray(capture_probes(flat, bvh, positions,
+                                        resolution=4, spp=2, mesh=mesh))
+    assert sharded.shape == single.shape == (3, 6, 4, 4, 3)
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
