@@ -468,17 +468,21 @@ def _traverse_kernel8(*refs, max_leaf: int,
                         # Occlusion query: ANY hit finishes the lane, so
                         # sink its best-t to -inf — the lane then fails
                         # every later node/leaf interval test and stops
-                        # inflating the packet's traversal union (out_t
-                        # is garbage for hits; only the mask is exact).
+                        # inflating the packet's traversal union.  The
+                        # sunk t doubles as the hit flag, so the u/v/tri
+                        # winner selects below are skipped entirely —
+                        # the any-hit row body is intersection-only, the
+                        # shadow-ray analog of the reference's
+                        # miss-test-only query (Lighting.glsl:229-234).
                         bt_ref[:] = jnp.where(hit, jnp.float32(-3e38),
                                               bt_ref[:])
                     else:
                         bt_ref[:] = jnp.where(hit, t, bt_ref[:])
-                    bu_ref[:] = jnp.where(hit, u, bu_ref[:])
-                    bv_ref[:] = jnp.where(hit, v, bv_ref[:])
-                    bi_ref[:] = jnp.where(
-                        hit, row_base * TRI_PER_ROW + jnp.int32(l),
-                        bi_ref[:])
+                        bu_ref[:] = jnp.where(hit, u, bu_ref[:])
+                        bv_ref[:] = jnp.where(hit, v, bv_ref[:])
+                        bi_ref[:] = jnp.where(
+                            hit, row_base * TRI_PER_ROW + jnp.int32(l),
+                            bi_ref[:])
                     if shade_mode:
                         if shade_mode == 1:
                             srow, soff = srow0, off
@@ -530,19 +534,27 @@ def _traverse_kernel8(*refs, max_leaf: int,
                     functools.partial(intersect_row, r))
             if any_hit:
                 # Dead (inverted-interval) lanes count as blocked — see
-                # the binary kernel's occlusion-query note.
-                @pl.when(jnp.all((bi_ref[:] >= 0) | (tmx[:] < tmn[:])))
+                # the binary kernel's occlusion-query note.  The sunk
+                # best-t IS the hit flag (no bi bookkeeping in any-hit).
+                @pl.when(jnp.all((bt_ref[:] < jnp.float32(-2.9e38))
+                                 | (tmx[:] < tmn[:])))
                 def _done():
                     sp_ref[0] = 0
         return 0
 
     jax.lax.while_loop(cond, body, 0)
 
-    found = bi_ref[:] >= 0
+    if any_hit:
+        # Hit flag = sunk best-t, excluding dead lanes (whose inverted
+        # interval parks tmx at RAY_DEAD_T = -3e38 = the sink value).
+        found = (bt_ref[:] < f32(-2.9e38)) & (tmx[:] >= tmn[:])
+        out_i[:] = jnp.where(found, 0, -1)
+    else:
+        found = bi_ref[:] >= 0
+        out_i[:] = bi_ref[:]
     out_t[:] = jnp.where(found, bt_ref[:], f32(-1.0))
     out_u[:] = bu_ref[:]
     out_v[:] = bv_ref[:]
-    out_i[:] = bi_ref[:]
     if shade_mode:
         # Normalize + backface flip (ClosestHit.rchit:67-70): det < 0 is
         # the winding-based hit-kind (det = -d . geometric_normal).
