@@ -90,6 +90,13 @@ class ChunkTables:
     # pallas_traverse.pack_fine_mask_rows) for the multi-hit alpha path:
     # +42.7 B/tri of VMEM, built only for alpha-masked Pallas chunks.
     fine_mask_rows: jnp.ndarray | None = None
+    # Dense 14-record any-hit tables (pack_tris_dense + a re-aligned
+    # supernode collapse): occlusion queries need no ds/aux/shade, so
+    # shadow rays visit 14.3% fewer leaf rows.  Non-alpha Pallas chunks
+    # only; the any-hit kernel binds ONLY these (VMEM is per-call
+    # scoped), so they never compete with the nearest tables.
+    anyhit_bvh8: BVH8 | None = None
+    anyhit_tris: jnp.ndarray | None = None
     row_offset: int = struct.field(pytree_node=False, default=0)
     rows: int = struct.field(pytree_node=False, default=0)
     # Chunk AABB (static floats) for the per-ray pre-cull.
@@ -125,6 +132,13 @@ class TraceTables:
     @property
     def tris_packed(self):
         return self.chunks[0].tris_packed
+
+
+def _dense_anyhit_enabled() -> bool:
+    """A/B knob for the dense shadow tables.  Default OFF until the
+    on-chip parity variant (flat_anyhit_dense) and the hybrid A/B land;
+    flipped in the commit that records them."""
+    return os.environ.get("STEELJAX_DENSE_ANYHIT", "0") == "1"
 
 
 def backend_is_tpu() -> bool:
@@ -242,6 +256,25 @@ def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
                     sub_fine[sub_order[real]]
         rows8, depth8 = collapse_bvh8(np.asarray(bvh.nodes), leaf_size,
                                       width=snode_width)
+        # Dense any-hit tables (non-alpha Pallas chunks): re-align the
+        # same binary tree's leaves to DENSE_PER_ROW and pack ds-less
+        # 9-float records — shadow rays then read 14 records per row.
+        anyhit_bvh8 = None
+        anyhit_tris = None
+        if use_pallas and mask is None and _dense_anyhit_enabled():
+            from steeljax.accel.bvh import _align_leaves
+            dnodes, dorder, dpadded = _align_leaves(
+                np.asarray(bvh.nodes), sub_order, leaf_size,
+                align=ptv.DENSE_PER_ROW)
+            dense_pos = np.full((dpadded, 3, 3), 3.0e37, np.float32)
+            dreal = dorder >= 0
+            if len(dorder):
+                dense_pos[np.nonzero(dreal)[0]] = sub_pos[dorder[dreal]]
+            drows8, ddepth8 = collapse_bvh8(dnodes, leaf_size,
+                                            width=snode_width)
+            anyhit_bvh8 = BVH8(rows=jnp.asarray(drows8), depth=ddepth8,
+                               max_leaf=leaf_size, width=snode_width)
+            anyhit_tris = jnp.asarray(ptv.pack_tris_dense(dense_pos))
         if len(piece):
             real_pos = sub_pos.reshape(-1, 3)
             lo = tuple(float(v) for v in real_pos.min(axis=0))
@@ -262,6 +295,7 @@ def prepare_tables(tri_pos, tri_double_sided, leaf_size: int = 24,
             fine_mask_rows=(None if permuted_fine is None
                             else jnp.asarray(ptv.pack_fine_mask_rows(
                                 permuted_fine))),
+            anyhit_bvh8=anyhit_bvh8, anyhit_tris=anyhit_tris,
             row_offset=offset, rows=padded, aabb=(lo, hi)))
         offset += padded
 
@@ -528,6 +562,13 @@ def trace_any(tables, tri_pos, tri_double_sided, o, d,
                         else ptv.SUBLANES)
                 if coherent and chunk.rows > COHERENT_MIN_ROWS:
                     subl = SUBLANES_COHERENT
+                if chunk.anyhit_tris is not None:
+                    # Dense ds-less 14-record rows: 14.3% fewer shadow
+                    # leaf-row visits (the shadow analog of the
+                    # reference's miss-test-only query).
+                    return ptv.trace_anyhit_dense(
+                        chunk.anyhit_bvh8, chunk.anyhit_tris, o, d,
+                        t_min, chunk_tmax, packet_sublanes=subl)
                 return ptv.trace_nearest_packet8(
                     chunk.bvh8, chunk.tris_packed, o, d, t_min, chunk_tmax,
                     cull_backface=False, any_hit=True,

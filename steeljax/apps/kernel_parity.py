@@ -312,6 +312,19 @@ def run(n_rays: int = 10240, n_tris: int = 30000) -> dict:
     print(f"{'PASS' if entry['ok'] else 'FAIL'} flat_anyhit: {entry}")
     all_ok &= entry["ok"]
 
+    # dense 14-record any-hit table (pack_tris_dense; dispatch builds it
+    # next to the nearest tables for every non-alpha Pallas chunk)
+    dchunk = tables.chunks[0]
+    assert dchunk.anyhit_tris is not None, "dense any-hit tables missing"
+    occ_d = np.asarray(ptv.trace_anyhit_dense(
+        dchunk.anyhit_bvh8, dchunk.anyhit_tris, o, d, 0.001, 40.0))
+    mm = int((occ_o != occ_d).sum())
+    entry = {"rays": n_rays, "hit_mismatches": mm,
+             "ok": mm <= max(2, n_rays // 5000)}
+    variants["flat_anyhit_dense"] = entry
+    print(f"{'PASS' if entry['ok'] else 'FAIL'} flat_anyhit_dense: {entry}")
+    all_ok &= entry["ok"]
+
     # --- in-kernel alpha masks (AnyHit.rahit:25-52 analog) ---------------
     from steeljax.accel.alphamask import MASK_FULL
     amask_np = r.integers(0, MASK_FULL + 1, n_tris).astype(np.uint32)

@@ -54,7 +54,7 @@ def accumulate(state: AccumulationState,
 def prepare_scene(scene: Scene, env_resolution: int = 256,
                   use_default_environment: bool = True,
                   use_pallas: bool | None = None,
-                  leaf_size: int = 24,
+                  leaf_size: int | None = None,
                   accel=None) -> tuple[FlatScene, TraceTables]:
     """Flatten + build acceleration structure + environment cubemap.
 
@@ -108,6 +108,10 @@ def prepare_scene(scene: Scene, env_resolution: int = 256,
         # reverts to aux-lane-only masking for A/B).
         if os.environ.get("STEELJAX_FINEMASK", "1") == "1":
             tri_fine_mask = compute_fine_masks(*mask_args)
+    if leaf_size is None:
+        # Measurement knob (tuned default 24; re-sweep when tree quality
+        # changes — the r2b leaf 12/48 negatives predate all-axis SAH).
+        leaf_size = int(os.environ.get("STEELJAX_LEAF_SIZE", "24"))
     tables, global_order, total_padded = prepare_tables(
         tri_pos, np.asarray(flat.tri_double_sided), leaf_size=leaf_size,
         use_pallas=use_pallas, tri_alpha_mask=tri_alpha_mask,
