@@ -69,6 +69,22 @@ def _real_tris(flat) -> int:
     return int((np.asarray(flat.tri_pos)[:, 0, 0] < 3.0e36).sum())
 
 
+def _sanity_check_frame(result, stats, pixel_count: int) -> None:
+    """Refuse to emit a corrupt capture (round 5 saw one 3.1e9 rays/s
+    line from a garbage stat): the telemetry must be a plausible
+    segments-per-pixel count, and a sampled slice of the frame must be
+    finite and non-constant.  The slice keeps the host download tiny
+    (the axon tunnel is ~1 MB/s)."""
+    import numpy as np
+    rays = float(stats["rays_traced"])
+    assert pixel_count * 0.5 <= rays <= pixel_count * 40, (
+        f"rays_traced telemetry implausible: {rays} for "
+        f"{pixel_count} pixels")
+    sample = np.asarray(result[:: max(result.shape[0] // 4096, 1)])
+    assert np.isfinite(sample).all(), "non-finite pixels in bench frame"
+    assert float(sample.std()) > 0.0, "constant bench frame"
+
+
 def _bench_pt(scene, metric_prefix: str, frames: int = 2) -> None:
     """Shared PT bench body: prepare, warm, time `frames` 1-spp frames."""
     import jax.numpy as jnp
@@ -105,6 +121,7 @@ def _bench_pt(scene, metric_prefix: str, frames: int = 2) -> None:
     elapsed = time.perf_counter() - t0
     total_rays = float(stats["rays_traced"]) * frames
 
+    _sanity_check_frame(result, stats, width * height)
     _emit(f"{metric_prefix}_{tri_count}tris", total_rays / elapsed,
           "rays/s/chip", total_rays / elapsed / 1e8)
 
@@ -147,6 +164,7 @@ def bench_cornell_pt() -> None:
     elapsed = time.perf_counter() - t0
     total_rays = float(stats["rays_traced"]) * frames
 
+    _sanity_check_frame(result, stats, width * height)
     _emit("cornell_pt_rays_per_second", total_rays / elapsed, "rays/s/chip",
           total_rays / elapsed / 1e8)
 
@@ -236,6 +254,9 @@ def bench_hybrid_1080p() -> None:
     elapsed = time.perf_counter() - t0
     ms = elapsed / frames * 1000.0
 
+    sample = np.asarray(image[:: max(image.shape[0] // 64, 1)])
+    assert np.isfinite(sample).all(), "non-finite pixels in hybrid frame"
+    assert float(sample.std()) > 0.0, "constant hybrid frame"
     _emit("hybrid_1080p_ms_per_frame", ms, "ms/frame", 33.33 / ms)
 
 
