@@ -109,9 +109,17 @@ def prepare_scene(scene: Scene, env_resolution: int = 256,
         if os.environ.get("STEELJAX_FINEMASK", "1") == "1":
             tri_fine_mask = compute_fine_masks(*mask_args)
     if leaf_size is None:
-        # Measurement knob (tuned default 24; re-sweep when tree quality
-        # changes — the r2b leaf 12/48 negatives predate all-axis SAH).
-        leaf_size = int(os.environ.get("STEELJAX_LEAF_SIZE", "24"))
+        env_leaf = os.environ.get("STEELJAX_LEAF_SIZE")
+        if env_leaf is not None:
+            leaf_size = int(env_leaf)
+        else:
+            # Scene-size-dependent default (round-5 sweep under all-axis
+            # trees): small scenes are pop-bound and bigger leaves pay
+            # (cornell leaf48 32.1 vs 28.5 Mray/s at 24, +12.6%; on-chip
+            # kernel equality validated at leaf48); mid/large scenes
+            # measured washes (hybrid 76.6 vs 76.3 ms, stress 0.771 vs
+            # 0.781 Mray/s), so they keep 24.
+            leaf_size = 48 if len(tri_pos) <= 50_000 else 24
     tables, global_order, total_padded = prepare_tables(
         tri_pos, np.asarray(flat.tri_double_sided), leaf_size=leaf_size,
         use_pallas=use_pallas, tri_alpha_mask=tri_alpha_mask,
