@@ -287,17 +287,18 @@ CONFIGS = {
 }
 
 
-# Rough warm-cache wall-cost estimates per config (seconds), dominated
-# by scene prep + the slow host->TPU tunnel upload, not the timed frames.
-# Used only for budget-skipping decisions; refreshed when measured.
+# Per-config wall-cost estimates (seconds) used only for
+# budget-skipping decisions; measured warm-cache in the round-5 final
+# capture (dominated by scene prep + the host->TPU tunnel upload, not
+# the timed frames — foliage ships ~90 MB of tables at ~1 MB/s).
 _EST_S = {
-    "cornell": 180,
-    "parity": 330,
-    "hybrid": 330,
-    "foliage": 390,
-    "foliage_solid": 390,
-    "stress": 540,
-    "stress_tex": 780,
+    "cornell": 90,
+    "parity": 420,
+    "hybrid": 240,
+    "foliage": 840,
+    "foliage_solid": 540,
+    "stress": 480,
+    "stress_tex": 480,
 }
 
 # Priority order under a wall-clock budget: headline first (its capture

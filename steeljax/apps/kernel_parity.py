@@ -312,9 +312,22 @@ def run(n_rays: int = 10240, n_tris: int = 30000) -> dict:
     print(f"{'PASS' if entry['ok'] else 'FAIL'} flat_anyhit: {entry}")
     all_ok &= entry["ok"]
 
-    # dense 14-record any-hit table (pack_tris_dense; dispatch builds it
-    # next to the nearest tables for every non-alpha Pallas chunk)
-    dchunk = tables.chunks[0]
+    # dense 14-record any-hit table (pack_tris_dense) — opt-in in
+    # dispatch (STEELJAX_DENSE_ANYHIT), but ALWAYS parity-covered here:
+    # rebuild the same tables with the flag forced on (deterministic
+    # build -> identical tree, so occ_o is the oracle for both).
+    import os as _os
+    _prev = _os.environ.get("STEELJAX_DENSE_ANYHIT")
+    _os.environ["STEELJAX_DENSE_ANYHIT"] = "1"
+    try:
+        dtables, _, _ = prepare_tables(tris, ds, leaf_size=24,
+                                       use_pallas=True)
+    finally:
+        if _prev is None:
+            del _os.environ["STEELJAX_DENSE_ANYHIT"]
+        else:
+            _os.environ["STEELJAX_DENSE_ANYHIT"] = _prev
+    dchunk = dtables.chunks[0]
     assert dchunk.anyhit_tris is not None, "dense any-hit tables missing"
     occ_d = np.asarray(ptv.trace_anyhit_dense(
         dchunk.anyhit_bvh8, dchunk.anyhit_tris, o, d, 0.001, 40.0))

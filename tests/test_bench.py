@@ -72,8 +72,9 @@ def _run(bench, monkeypatch, durations, budget, rcs=None):
     return calls, lines, code
 
 
-_DUR = {"cornell": 170, "parity": 300, "hybrid": 310, "foliage": 380,
-        "foliage_solid": 380, "stress": 500, "stress_tex": 700}
+# Realistic warm-cache durations (round-5 final capture profile).
+_DUR = {"cornell": 30, "parity": 360, "hybrid": 130, "foliage": 760,
+        "foliage_solid": 490, "stress": 430, "stress_tex": 420}
 
 
 def test_budget_skips_tail_and_reemits_headline(bench_mod, monkeypatch):
@@ -97,7 +98,9 @@ def test_headline_always_runs(bench_mod, monkeypatch):
 def test_hung_config_is_bounded(bench_mod, monkeypatch):
     dur = dict(_DUR, hybrid=10 ** 9)
     ran, lines, code = _run(bench_mod, monkeypatch, dur, 1500)
-    assert ran == ["cornell", "parity", "hybrid"]
+    # The hang is bounded at est*2.5; the cheap stress config still
+    # fits the leftover budget and runs (backfill, not abort).
+    assert ran == ["cornell", "parity", "hybrid", "stress"]
     hyb = [l for l in lines if l.get("metric") == "hybrid"
            and l.get("skipped")]
     assert hyb and hyb[0]["reason"] == "timeout"
