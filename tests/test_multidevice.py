@@ -156,12 +156,11 @@ def test_probe_bake_sharded_matches_single_device(setup):
     from steeljax.gi.light_volume import capture_probes
 
     flat, bvh, frame = setup
-    positions = np.array([[0.0, 1.0, 0.0], [0.5, 1.5, 0.5],
-                          [-0.5, 0.8, -0.3]], np.float32)
+    positions = np.array([[0.0, 1.0, 0.0], [0.5, 1.5, 0.5]], np.float32)
     single = np.asarray(capture_probes(flat, bvh, positions,
-                                       resolution=4, spp=2))
+                                       resolution=4, spp=1))
     mesh = make_mesh()
     sharded = np.asarray(capture_probes(flat, bvh, positions,
-                                        resolution=4, spp=2, mesh=mesh))
-    assert sharded.shape == single.shape == (3, 6, 4, 4, 3)
+                                        resolution=4, spp=1, mesh=mesh))
+    assert sharded.shape == single.shape == (2, 6, 4, 4, 3)
     np.testing.assert_allclose(sharded, single, atol=1e-5)
